@@ -1,0 +1,290 @@
+"""Warmup adaptation: step size + diagonal mass matrix.
+
+Reproduces the reference's adaptation semantics (nuts-rs, observed through
+nutpie's settings and docs; see SURVEY.md section 2.2):
+
+- *Step size*: dual averaging toward ``target_accept`` (default 0.8), with an
+  Adam and a fixed-step alternative (``wrapper.rs:258-270``).  Soft-restarted
+  when the mass matrix switches windows.
+- *Mass matrix*: nutpie's signature gradient-based diagonal estimator
+  ``sigma_i^2 = sqrt(var(draw_i) / var(grad_i))`` computed from a
+  current/background pair of running-variance accumulators that swap every
+  ``mass_matrix_switch_freq`` draws (``early_mass_matrix_switch_freq`` during
+  the first ``early_phase_share`` of warmup).  Frozen for the final
+  ``freeze_share`` of warmup (``docs/sample-stats.qmd:86-89``: "The mass
+  matrix will always be fixed for 10% of draws at the end").
+- ``use_grad_based_estimate=False`` ("draw_diag") switches to the Stan-style
+  draw-variance-only estimator with Stan's shrinkage regularization.
+
+Everything here is pure per-chain JAX; cross-chain pooling happens at chunk
+boundaries (see ``sampler/run.py``).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from .state import AdamState, DiagAdaptState, DualAvgState, WelfordState
+
+
+@dataclasses.dataclass(frozen=True)
+class AdaptConfig:
+    """Static adaptation configuration, derived from settings."""
+
+    num_tune: int
+    target_accept: float = 0.8
+    initial_step: float = 0.1
+    # dual averaging
+    gamma: float = 0.05
+    t0: float = 10.0
+    kappa: float = 0.75
+    max_step_size: float = 100.0
+    # step size method: "dual_average" | "adam" | float (fixed)
+    method: object = "dual_average"
+    adam_lr: float = 0.05
+    adam_beta1: float = 0.9
+    adam_beta2: float = 0.999
+    step_size_jitter: Optional[float] = None
+    # mass matrix windows
+    switch_freq: int = 80
+    early_switch_freq: int = 10
+    early_phase_share: float = 0.3
+    freeze_share: float = 0.1
+    use_grad_based_estimate: bool = True
+    # clipping for the variance estimate
+    min_variance: float = 1e-12
+    max_variance: float = 1e12
+
+    @property
+    def early_end(self) -> int:
+        return int(self.early_phase_share * self.num_tune)
+
+    @property
+    def freeze_start(self) -> int:
+        # the final ~freeze_share of tuning only adapts step size
+        return self.num_tune - int(self.freeze_share * self.num_tune)
+
+
+# ---------------------------------------------------------------- Welford
+
+def welford_init(dim: int, dtype) -> WelfordState:
+    return WelfordState(
+        mean=jnp.zeros(dim, dtype),
+        m2=jnp.zeros(dim, dtype),
+        count=jnp.zeros((), dtype),
+    )
+
+def welford_add(state: WelfordState, x: jax.Array) -> WelfordState:
+    count = state.count + 1
+    delta = x - state.mean
+    mean = state.mean + delta / count
+    m2 = state.m2 + delta * (x - mean)
+    return WelfordState(mean, m2, count)
+
+def welford_variance(state: WelfordState) -> jax.Array:
+    return state.m2 / jnp.maximum(state.count - 1, 1)
+
+
+# ---------------------------------------------------------------- step size
+
+def dual_avg_init(cfg: AdaptConfig, dtype) -> DualAvgState:
+    log_step = jnp.asarray(jnp.log(cfg.initial_step), dtype)
+    return DualAvgState(
+        log_step=log_step,
+        log_step_bar=log_step,
+        hbar=jnp.zeros((), dtype),
+        mu=jnp.log(10.0) + log_step,
+        count=jnp.zeros((), dtype),
+    )
+
+def dual_avg_update(cfg: AdaptConfig, da: DualAvgState, accept: jax.Array) -> DualAvgState:
+    count = da.count + 1
+    w = 1.0 / (count + cfg.t0)
+    hbar = (1.0 - w) * da.hbar + w * (cfg.target_accept - accept)
+    log_step = da.mu - jnp.sqrt(count) / cfg.gamma * hbar
+    log_step = jnp.minimum(log_step, jnp.log(cfg.max_step_size))
+    eta = count ** (-cfg.kappa)
+    log_step_bar = eta * log_step + (1.0 - eta) * da.log_step_bar
+    return DualAvgState(log_step, log_step_bar, hbar, da.mu, count)
+
+def dual_avg_restart(da: DualAvgState) -> DualAvgState:
+    """Soft restart after a mass-matrix switch: re-center on current step."""
+    return DualAvgState(
+        log_step=da.log_step,
+        log_step_bar=da.log_step_bar,
+        hbar=jnp.zeros_like(da.hbar),
+        mu=jnp.log(10.0) + da.log_step,
+        count=jnp.zeros_like(da.count),
+    )
+
+def adam_init(dtype) -> AdamState:
+    z = jnp.zeros((), dtype)
+    return AdamState(m=z, v=z, count=z)
+
+def adam_update(cfg: AdaptConfig, adam: AdamState, da: DualAvgState, accept: jax.Array):
+    """Adam on log step size with gradient (accept - target)."""
+    g = cfg.target_accept - accept
+    count = adam.count + 1
+    m = cfg.adam_beta1 * adam.m + (1 - cfg.adam_beta1) * g
+    v = cfg.adam_beta2 * adam.v + (1 - cfg.adam_beta2) * g * g
+    mhat = m / (1 - cfg.adam_beta1 ** count)
+    vhat = v / (1 - cfg.adam_beta2 ** count)
+    log_step = da.log_step - cfg.adam_lr * mhat / (jnp.sqrt(vhat) + 1e-8)
+    log_step = jnp.minimum(log_step, jnp.log(cfg.max_step_size))
+    eta = count ** (-cfg.kappa)
+    log_step_bar = eta * log_step + (1.0 - eta) * da.log_step_bar
+    return AdamState(m, v, count), DualAvgState(
+        log_step, log_step_bar, da.hbar, da.mu, da.count + 1
+    )
+
+
+# ---------------------------------------------------------------- mass matrix
+
+def init_inv_mass_from_gradient(gradient: jax.Array) -> jax.Array:
+    """Gradient-informed initial diagonal: sigma_i^2 ~ 1 / g_i^2.
+
+    For a Gaussian the typical gradient magnitude is 1/sigma, so 1/g^2 is a
+    scale-correct first guess before any draws exist (this gradient-informed
+    start is part of why the reference needs ~1/3 of Stan's warmup
+    gradients).  Clipped for safety; zero gradients fall back to 1.
+    """
+    g2 = jnp.square(gradient)
+    var = jnp.where(g2 > 0, 1.0 / jnp.maximum(g2, 1e-12), 1.0)
+    return jnp.clip(var, 1e-6, 1e6)
+
+
+def diag_adapt_init(cfg: AdaptConfig, gradient: jax.Array, dtype) -> DiagAdaptState:
+    dim = gradient.shape[-1]
+    return DiagAdaptState(
+        da=dual_avg_init(cfg, dtype),
+        adam=adam_init(dtype),
+        inv_mass=init_inv_mass_from_gradient(gradient).astype(dtype),
+        draws_cur=welford_init(dim, dtype),
+        grads_cur=welford_init(dim, dtype),
+        draws_bg=welford_init(dim, dtype),
+        grads_bg=welford_init(dim, dtype),
+    )
+
+
+def _estimate_inv_mass(cfg: AdaptConfig, draws: WelfordState, grads: WelfordState,
+                       fallback: jax.Array) -> jax.Array:
+    draw_var = welford_variance(draws)
+    if cfg.use_grad_based_estimate:
+        grad_var = welford_variance(grads)
+        est = jnp.sqrt(
+            jnp.maximum(draw_var, cfg.min_variance)
+            / jnp.maximum(grad_var, cfg.min_variance)
+        )
+    else:
+        # Stan-style shrinkage toward unit scale
+        n = draws.count
+        est = (n / (n + 5.0)) * draw_var + 1e-3 * (5.0 / (n + 5.0))
+    est = jnp.clip(est, cfg.min_variance, cfg.max_variance)
+    ok = (draws.count > 2) & jnp.all(jnp.isfinite(est))
+    return jnp.where(ok, est, fallback)
+
+
+def diag_adapt_update(
+    cfg: AdaptConfig,
+    adapt: DiagAdaptState,
+    draw_idx: jax.Array,
+    position: jax.Array,
+    gradient: jax.Array,
+    accept: jax.Array,
+    diverging: jax.Array,
+) -> DiagAdaptState:
+    """Per-draw adaptation update (masked by caller to tuning draws only)."""
+    # -- step size
+    if isinstance(cfg.method, (int, float)):
+        log_fixed = jnp.asarray(jnp.log(float(cfg.method)), adapt.da.log_step.dtype)
+        da = adapt.da._replace(log_step=log_fixed, log_step_bar=log_fixed)
+        adam = adapt.adam
+    elif cfg.method == "adam":
+        adam, da = adam_update(cfg, adapt.adam, adapt.da, accept)
+    else:
+        da = dual_avg_update(cfg, adapt.da, accept)
+        adam = adapt.adam
+
+    # -- mass matrix accumulators (skip divergent draws)
+    def add_all():
+        return (
+            welford_add(adapt.draws_cur, position),
+            welford_add(adapt.grads_cur, gradient),
+            welford_add(adapt.draws_bg, position),
+            welford_add(adapt.grads_bg, gradient),
+        )
+    def keep_all():
+        return (adapt.draws_cur, adapt.grads_cur, adapt.draws_bg, adapt.grads_bg)
+    ok = ~diverging & jnp.all(jnp.isfinite(position)) & jnp.all(jnp.isfinite(gradient))
+    draws_cur, grads_cur, draws_bg, grads_bg = jax.tree_util.tree_map(
+        lambda a, b: jnp.where(ok, a, b), add_all(), keep_all()
+    )
+
+    # -- window schedule
+    frozen = draw_idx >= cfg.freeze_start
+    freq = jnp.where(draw_idx < cfg.early_end, cfg.early_switch_freq, cfg.switch_freq)
+    switch = (~frozen) & (draw_idx > 0) & ((draw_idx + 1) % freq == 0)
+
+    # recompute the estimate every (unfrozen) draw from the current window
+    inv_mass = _estimate_inv_mass(cfg, draws_cur, grads_cur, adapt.inv_mass)
+    inv_mass = jnp.where(frozen, adapt.inv_mass, inv_mass)
+
+    # switch: current <- background, background <- fresh
+    dim = position.shape[-1]
+    dtype = position.dtype
+    fresh = welford_init(dim, dtype)
+    def do_switch(cur, bg):
+        return jax.tree_util.tree_map(
+            lambda c, b, f: jnp.where(switch, b, c), cur, bg, fresh
+        ), jax.tree_util.tree_map(
+            lambda b, f: jnp.where(switch, f, b), bg, fresh
+        )
+    draws_cur, draws_bg = do_switch(draws_cur, draws_bg)
+    grads_cur, grads_bg = do_switch(grads_cur, grads_bg)
+
+    # soft-restart dual averaging when the metric changed
+    da = jax.tree_util.tree_map(
+        lambda r, k: jnp.where(switch, r, k), dual_avg_restart(da), da
+    )
+
+    return DiagAdaptState(
+        da=da, adam=adam, inv_mass=inv_mass,
+        draws_cur=draws_cur, grads_cur=grads_cur,
+        draws_bg=draws_bg, grads_bg=grads_bg,
+    )
+
+
+def pool_adapt_state(adapt: DiagAdaptState, axis_name: Optional[str] = None):
+    """Pool mass-matrix statistics across chains (chunk-boundary collective).
+
+    Averages the Welford accumulators over the chains axis so every chain
+    adapts with the pooled posterior geometry -- an improvement over the
+    reference, whose chains never exchange adaptation state
+    (SURVEY.md section 2.5).  Called on the batched state (leading chains
+    axis) at chunk boundaries, where all chains sit at the same draw index.
+    """
+    def pool_welford(w: WelfordState) -> WelfordState:
+        # combine: total count, pooled mean, pooled within+between m2
+        if axis_name is None:
+            total = jnp.sum(w.count)
+            mean = jnp.sum(w.mean * w.count[..., None], axis=0) / jnp.maximum(total, 1)
+            m2 = jnp.sum(
+                w.m2 + w.count[..., None] * jnp.square(w.mean - mean), axis=0
+            )
+            n_chains = w.count.shape[0]
+            return WelfordState(
+                mean=jnp.broadcast_to(mean, w.mean.shape),
+                m2=jnp.broadcast_to(m2 / n_chains, w.m2.shape),
+                count=jnp.broadcast_to(total / n_chains, w.count.shape),
+            )
+        raise NotImplementedError("psum pooling is applied outside shard_map")
+    return adapt._replace(
+        draws_cur=pool_welford(adapt.draws_cur),
+        grads_cur=pool_welford(adapt.grads_cur),
+        draws_bg=pool_welford(adapt.draws_bg),
+        grads_bg=pool_welford(adapt.grads_bg),
+    )

@@ -1,0 +1,494 @@
+"""Vectorized No-U-Turn sampler as a flattened per-leapfrog state machine.
+
+Algorithm: multinomial NUTS with biased progressive sampling and the
+generalized (momentum-sum) U-turn criterion, matching the reference sampler's
+semantics (nuts-rs; multinomial tree doubling to ``maxdepth``, divergence when
+the energy error exceeds ``max_energy_error``, dual-averaging step size,
+see SURVEY.md section 2.2 and reference ``docs/sampling-options.qmd``).
+
+TPU-native design: instead of one thread per chain with nested tree
+recursion, every chain advances by exactly one leapfrog step per machine
+iteration.  Doubling bookkeeping, subtree U-turn checks (iterative
+checkpointing scheme a la Phan & Pradhan), trajectory merges, draw
+completion, and warmup adaptation all happen inline as masked vector ops.
+A single ``lax.while_loop`` drives *all* chains through a chunk of draws with
+no per-draw barrier: a chain that finishes its draw immediately refreshes its
+momentum and continues, so every gradient evaluation slot does useful work
+(cf. "Efficiently Vectorized MCMC on Modern Accelerators", arXiv:2503.17405).
+
+The dominant per-step cost is the fused logp+gradient evaluation, which XLA
+batches over all chains on the MXU/VPU; the bookkeeping is O(dim) vector ops.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+
+from .adapt import (
+    AdaptConfig,
+    diag_adapt_init,
+    diag_adapt_update,
+)
+from .state import DiagAdaptState, NutsMachineState, tree_where
+
+
+@dataclasses.dataclass(frozen=True)
+class NutsConfig:
+    """Static kernel configuration (baked into the compiled program)."""
+
+    maxdepth: int = 10
+    mindepth: int = 0
+    check_turning: bool = True
+    max_energy_error: float = 1000.0
+    store_gradient: bool = False
+    store_mass_matrix: bool = False
+    store_divergences: bool = False
+    adapt: AdaptConfig = dataclasses.field(
+        default_factory=lambda: AdaptConfig(num_tune=300)
+    )
+
+
+class ChunkBuffers(NamedTuple):
+    """Per-chain output buffers for one chunk of draws ([chunk_len, ...])."""
+
+    position: jax.Array             # [L, dim] unconstrained draws
+    logp: jax.Array                 # [L]
+    energy: jax.Array               # [L]
+    depth: jax.Array                # [L] i32
+    maxdepth_reached: jax.Array     # [L] bool
+    diverging: jax.Array            # [L] bool
+    step_size: jax.Array            # [L]
+    step_size_bar: jax.Array        # [L]
+    n_steps: jax.Array              # [L] i32
+    mean_tree_accept: jax.Array     # [L]
+    index_in_trajectory: jax.Array  # [L] i32
+    gradient: Optional[jax.Array]          # [L, dim] if store_gradient
+    mass_matrix_inv: Optional[jax.Array]   # [L, dim] if store_mass_matrix
+    divergence_start: Optional[jax.Array]  # [L, dim] if store_divergences
+    divergence_end: Optional[jax.Array]
+    divergence_momentum: Optional[jax.Array]
+    divergence_start_gradient: Optional[jax.Array]
+
+
+def init_buffers(cfg: NutsConfig, chunk_len: int, dim: int, dtype) -> ChunkBuffers:
+    f = lambda *shape: jnp.full(shape, jnp.nan, dtype)
+    i = lambda *shape: jnp.zeros(shape, jnp.int32)
+    b = lambda *shape: jnp.zeros(shape, bool)
+    L = chunk_len
+    return ChunkBuffers(
+        position=f(L, dim),
+        logp=f(L),
+        energy=f(L),
+        depth=i(L),
+        maxdepth_reached=b(L),
+        diverging=b(L),
+        step_size=f(L),
+        step_size_bar=f(L),
+        n_steps=i(L),
+        mean_tree_accept=f(L),
+        index_in_trajectory=i(L),
+        gradient=f(L, dim) if cfg.store_gradient else None,
+        mass_matrix_inv=f(L, dim) if cfg.store_mass_matrix else None,
+        divergence_start=f(L, dim) if cfg.store_divergences else None,
+        divergence_end=f(L, dim) if cfg.store_divergences else None,
+        divergence_momentum=f(L, dim) if cfg.store_divergences else None,
+        divergence_start_gradient=f(L, dim) if cfg.store_divergences else None,
+    )
+
+
+def _w(mask, new, old):
+    """Masked select broadcasting a boolean over trailing dims."""
+    new = jnp.asarray(new)
+    m = jnp.asarray(mask)
+    if m.ndim < new.ndim:
+        m = m.reshape(m.shape + (1,) * (new.ndim - m.ndim))
+    return jnp.where(m, new, old)
+
+
+def start_draw(
+    cfg: NutsConfig,
+    state: NutsMachineState,
+    gauss: jax.Array,
+    jitter_u: jax.Array,
+) -> NutsMachineState:
+    """Refresh momentum and reset trajectory/subtree state for a new draw."""
+    dtype = state.position.dtype
+    adapt = state.adapt
+    tuning = state.draw_idx < cfg.adapt.num_tune
+    log_eps = jnp.where(tuning, adapt.da.log_step, adapt.da.log_step_bar)
+    eps = jnp.exp(log_eps)
+    if cfg.adapt.step_size_jitter is not None:
+        eps = eps * (1.0 + cfg.adapt.step_size_jitter * (2.0 * jitter_u - 1.0))
+    inv_mass = adapt.inv_mass
+    p0 = gauss / jnp.sqrt(inv_mass)
+    ke = 0.5 * jnp.dot(p0, inv_mass * p0)
+    h0 = -state.logp + ke
+    dim = state.position.shape[-1]
+    nan_vec = jnp.full((dim,), jnp.nan, dtype)
+    return state._replace(
+        eps=eps.astype(dtype),
+        h0=h0,
+        z_minus=state.position,
+        p_minus=p0,
+        g_minus=state.gradient,
+        z_plus=state.position,
+        p_plus=p0,
+        g_plus=state.gradient,
+        rho=p0,
+        logw_traj=jnp.zeros((), dtype),
+        prop_z=state.position,
+        prop_g=state.gradient,
+        prop_logp=state.logp,
+        prop_energy=h0,
+        prop_idx=jnp.zeros((), jnp.int32),
+        depth=jnp.zeros((), jnp.int32),
+        direction=jnp.ones((), jnp.int32),
+        left_idx=jnp.zeros((), jnp.int32),
+        right_idx=jnp.zeros((), jnp.int32),
+        sum_acc=jnp.zeros((), dtype),
+        n_leaves=jnp.zeros((), jnp.int32),
+        diverging=jnp.zeros((), bool),
+        n_leaf=jnp.zeros((), jnp.int32),
+        rho_sub=jnp.zeros((dim,), dtype),
+        logw_sub=jnp.full((), -jnp.inf, dtype),
+        sprop_z=state.position,
+        sprop_g=state.gradient,
+        sprop_logp=state.logp,
+        sprop_energy=h0,
+        sprop_idx=jnp.zeros((), jnp.int32),
+        turning_sub=jnp.zeros((), bool),
+        ckpt_top=jnp.zeros((), jnp.int32),
+        div_start=nan_vec,
+        div_start_grad=nan_vec,
+        div_end=nan_vec,
+        div_mom=nan_vec,
+    )
+
+
+def init_machine_state(
+    cfg: NutsConfig,
+    chain_key: jax.Array,
+    position: jax.Array,
+    gradient: jax.Array,
+    logp: jax.Array,
+    dtype,
+) -> NutsMachineState:
+    """Build the initial per-chain state (before the first chunk)."""
+    dim = position.shape[-1]
+    # checkpoint stack: a subtree of size 2^depth uses slots 0..depth-1 with
+    # depth <= maxdepth-1; slot D-1 additionally stashes the old edge momentum
+    D = max(cfg.maxdepth, 2)
+    zvec = jnp.zeros((dim,), dtype)
+    nan_vec = jnp.full((dim,), jnp.nan, dtype)
+    zs = jnp.zeros((), dtype)
+    zi = jnp.zeros((), jnp.int32)
+    adapt = diag_adapt_init(cfg.adapt, gradient, dtype)
+    return NutsMachineState(
+        rng_key=chain_key,
+        position=position.astype(dtype),
+        gradient=gradient.astype(dtype),
+        logp=logp.astype(dtype),
+        draw_idx=zi,
+        adapt=adapt,
+        total_steps=zi,
+        divergence_count=zi,
+        done=jnp.zeros((), bool),
+        eps=jnp.asarray(cfg.adapt.initial_step, dtype),
+        h0=zs,
+        z_minus=zvec, p_minus=zvec, g_minus=zvec,
+        z_plus=zvec, p_plus=zvec, g_plus=zvec,
+        rho=zvec,
+        logw_traj=zs,
+        prop_z=zvec, prop_g=zvec, prop_logp=zs, prop_energy=zs, prop_idx=zi,
+        depth=zi,
+        direction=jnp.ones((), jnp.int32),
+        left_idx=zi, right_idx=zi,
+        sum_acc=zs, n_leaves=zi,
+        diverging=jnp.zeros((), bool),
+        n_leaf=zi,
+        rho_sub=zvec,
+        logw_sub=jnp.full((), -jnp.inf, dtype),
+        sprop_z=zvec, sprop_g=zvec, sprop_logp=zs, sprop_energy=zs, sprop_idx=zi,
+        turning_sub=jnp.zeros((), bool),
+        ckpt_p=jnp.zeros((D, dim), dtype),
+        ckpt_s=jnp.zeros((D, dim), dtype),
+        ckpt_top=zi,
+        div_start=nan_vec, div_start_grad=nan_vec,
+        div_end=nan_vec, div_mom=nan_vec,
+    )
+
+
+def _turn(rho, p_a, p_b, inv_mass):
+    """Generalized U-turn criterion between trajectory ends a (left) and b."""
+    va = inv_mass * p_a
+    vb = inv_mass * p_b
+    return (jnp.dot(rho, va) <= 0) | (jnp.dot(rho, vb) <= 0)
+
+
+def machine_step(
+    cfg: NutsConfig,
+    logp_and_grad,
+    mom_gauss: jax.Array,   # [chunk_len, dim] per-draw momentum gaussians
+    jitter_us: jax.Array,   # [chunk_len]
+    chunk_start: jax.Array, # scalar i32 (dynamic)
+    limit: jax.Array,       # scalar i32: draws to produce this chunk (dynamic)
+    s: NutsMachineState,
+    bufs: ChunkBuffers,
+) -> tuple[NutsMachineState, ChunkBuffers]:
+    """Advance one chain by one leapfrog step (vmapped over chains)."""
+    dtype = s.position.dtype
+    active = ~s.done
+    inv_mass = s.adapt.inv_mass
+    D = s.ckpt_p.shape[0]
+
+    # ------------------------------------------------ scalar randomness
+    ku = jax.random.fold_in(jax.random.fold_in(s.rng_key, 3), s.total_steps)
+    u3 = jax.random.uniform(ku, (3,), jnp.float32).astype(dtype)
+
+    # ------------------------------------------------ doubling start
+    at_start = s.n_leaf == 0
+    new_dir = jnp.where(u3[0] < 0.5, -1, 1).astype(jnp.int32)
+    direction = jnp.where(at_start, new_dir, s.direction)
+    fwd = direction > 0
+
+    # Momentum of the old trajectory's end on the integration side, needed for
+    # the Stan-style cross U-turn checks at merge time.  The edge buffer is
+    # overwritten during subtree integration, so capture it at doubling start
+    # in checkpoint slot D-1, which the stack never reaches: a subtree of
+    # size 2^depth uses stack indices 0..depth-1 and depth <= maxdepth-1.
+    edge_p_old = jnp.where(fwd, s.p_plus, s.p_minus)
+    ckpt_p = s.ckpt_p.at[D - 1].set(_w(at_start & active, edge_p_old, s.ckpt_p[D - 1]))
+    ckpt_s = s.ckpt_s
+
+    # ------------------------------------------------ leapfrog (1 gradient)
+    z_e = jnp.where(fwd, s.z_plus, s.z_minus)
+    p_e = jnp.where(fwd, s.p_plus, s.p_minus)
+    g_e = jnp.where(fwd, s.g_plus, s.g_minus)
+    eps_s = direction.astype(dtype) * s.eps
+    p_half = p_e + 0.5 * eps_s * g_e
+    z_new = z_e + eps_s * (inv_mass * p_half)
+    logp_new, g_new = logp_and_grad(z_new)
+    logp_new = logp_new.astype(dtype)
+    g_new = g_new.astype(dtype)
+    p_new = p_half + 0.5 * eps_s * g_new
+    ke = 0.5 * jnp.dot(p_new, inv_mass * p_new)
+    h = -logp_new + ke
+
+    # ------------------------------------------------ leaf processing
+    n = s.n_leaf + 1
+    e_err = h - s.h0
+    finite = jnp.isfinite(e_err)
+    div_leaf = (~finite) | (e_err > cfg.max_energy_error)
+    lw = jnp.where(div_leaf, -jnp.inf, -e_err)
+    acc = jnp.where(finite, jnp.exp(jnp.minimum(jnp.zeros((), dtype), -e_err)), 0.0)
+
+    sum_acc = _w(active, s.sum_acc + acc, s.sum_acc)
+    n_leaves = _w(active, s.n_leaves + 1, s.n_leaves)
+    total_steps = _w(active, s.total_steps + 1, s.total_steps)
+
+    abs_idx = jnp.where(fwd, s.right_idx + 1, s.left_idx - 1)
+    right_idx = _w(active & fwd, s.right_idx + 1, s.right_idx)
+    left_idx = _w(active & ~fwd, s.left_idx - 1, s.left_idx)
+
+    # progressive multinomial within the subtree
+    logw_sub_new = jnp.logaddexp(s.logw_sub, lw)
+    take = jnp.log(u3[1]) < (lw - logw_sub_new)
+    take = jnp.where(jnp.isnan(lw - logw_sub_new), False, take)
+    m_take = active & take
+    sprop_z = _w(m_take, z_new, s.sprop_z)
+    sprop_g = _w(m_take, g_new, s.sprop_g)
+    sprop_logp = _w(m_take, logp_new, s.sprop_logp)
+    sprop_energy = _w(m_take, h, s.sprop_energy)
+    sprop_idx = _w(m_take, abs_idx, s.sprop_idx)
+
+    rho_sub_pre = s.rho_sub
+    rho_sub_new = rho_sub_pre + p_new
+
+    # checkpoint stack: push at odd leaves, check+pop at even leaves
+    odd = (n % 2) == 1
+    top = s.ckpt_top
+    push = active & odd
+    ckpt_p = ckpt_p.at[top].set(_w(push, p_new, ckpt_p[top]))
+    ckpt_s = ckpt_s.at[top].set(_w(push, rho_sub_pre, ckpt_s[top]))
+    top_after_push = jnp.where(push, top + 1, top)
+
+    # trailing zeros of n (for even n): subtrees of sizes 2^1..2^t end here
+    tz = jax.lax.population_count((n & -n) - 1)
+    even = active & ~odd
+    if cfg.check_turning:
+        # vectorized checks against the top `tz` checkpoints
+        slots = jnp.arange(D)
+        slot_mask = (slots < top_after_push) & (slots >= top_after_push - tz)
+        rho_ab = rho_sub_new[None, :] - ckpt_s        # [D, dim]
+        d_a = jnp.sum(rho_ab * (ckpt_p * inv_mass[None, :]), axis=1)
+        d_b = rho_ab @ (inv_mass * p_new)
+        turn_vec = (d_a <= 0) | (d_b <= 0)
+        turning_here = jnp.any(turn_vec & slot_mask)
+        turning_sub = s.turning_sub | (even & turning_here)
+    else:
+        turning_sub = s.turning_sub
+    top_new = jnp.where(even, top_after_push - jnp.maximum(tz - 1, 0), top_after_push)
+
+    # ------------------------------------------------ subtree completion
+    subtree_size = jax.lax.shift_left(jnp.ones((), jnp.int32), s.depth)
+    full = n >= subtree_size
+    sub_invalid = div_leaf | turning_sub
+    sub_done = active & (full | sub_invalid)
+    merge_ok = sub_done & ~sub_invalid
+
+    # biased progressive sampling at the merge
+    log_ratio = logw_sub_new - s.logw_traj
+    take2 = jnp.log(u3[2]) < log_ratio
+    take2 = jnp.where(jnp.isnan(log_ratio), False, take2)
+    m_take2 = merge_ok & take2
+    prop_z = _w(m_take2, sprop_z, s.prop_z)
+    prop_g = _w(m_take2, sprop_g, s.prop_g)
+    prop_logp = _w(m_take2, sprop_logp, s.prop_logp)
+    prop_energy = _w(m_take2, sprop_energy, s.prop_energy)
+    prop_idx = _w(m_take2, sprop_idx, s.prop_idx)
+
+    logw_traj = _w(merge_ok, jnp.logaddexp(s.logw_traj, logw_sub_new), s.logw_traj)
+    rho_full = s.rho + rho_sub_new
+    rho = _w(merge_ok, rho_full, s.rho)
+
+    # U-turn checks on the merged trajectory (main + Stan-style cross checks)
+    if cfg.check_turning:
+        far_p = jnp.where(fwd, s.p_minus, s.p_plus)
+        new_end_p = p_new
+        first_new_p = ckpt_p[0]
+        edge_old_p = ckpt_p[D - 1]
+        t1 = _turn(rho_full, jnp.where(fwd, far_p, new_end_p),
+                   jnp.where(fwd, new_end_p, far_p), inv_mass)
+        t2 = _turn(s.rho + first_new_p,
+                   jnp.where(fwd, far_p, first_new_p),
+                   jnp.where(fwd, first_new_p, far_p), inv_mass)
+        t3 = _turn(rho_sub_new + edge_old_p,
+                   jnp.where(fwd, edge_old_p, new_end_p),
+                   jnp.where(fwd, new_end_p, edge_old_p), inv_mass)
+        turning_traj = merge_ok & (t1 | t2 | t3)
+        turning_traj &= (s.depth + 1) >= cfg.mindepth
+    else:
+        turning_traj = jnp.zeros((), bool)
+
+    ended_by_depth = merge_ok & ((s.depth + 1) >= cfg.maxdepth)
+    draw_done = sub_done & (sub_invalid | turning_traj | ended_by_depth)
+
+    # next doubling (when merged and continuing)
+    next_doubling = merge_ok & ~draw_done
+    depth = _w(next_doubling, s.depth + 1, s.depth)
+    n_leaf = _w(active, jnp.where(next_doubling, 0, n), s.n_leaf)
+    rho_sub = _w(active, jnp.where(next_doubling, jnp.zeros_like(rho_sub_new), rho_sub_new), s.rho_sub)
+    logw_sub = _w(active, jnp.where(next_doubling, -jnp.inf, logw_sub_new), s.logw_sub)
+    turning_sub = _w(active, jnp.where(next_doubling, False, turning_sub), s.turning_sub)
+    top_new = jnp.where(next_doubling, 0, top_new)
+    ckpt_top = _w(active, top_new, s.ckpt_top)
+
+    # edge updates from the leapfrog
+    z_plus = _w(active & fwd, z_new, s.z_plus)
+    p_plus = _w(active & fwd, p_new, s.p_plus)
+    g_plus = _w(active & fwd, g_new, s.g_plus)
+    z_minus = _w(active & ~fwd, z_new, s.z_minus)
+    p_minus = _w(active & ~fwd, p_new, s.p_minus)
+    g_minus = _w(active & ~fwd, g_new, s.g_minus)
+
+    # divergence location info
+    m_div = active & div_leaf
+    div_start = _w(m_div, z_e, s.div_start)
+    div_start_grad = _w(m_div, g_e, s.div_start_grad)
+    div_end = _w(m_div, z_new, s.div_end)
+    div_mom = _w(m_div, p_e, s.div_mom)
+
+    diverging = _w(active, s.diverging | div_leaf, s.diverging)
+
+    # ------------------------------------------------ draw completion
+    idx = s.draw_idx - chunk_start
+    idx_c = jnp.clip(idx, 0, mom_gauss.shape[0] - 1)
+    depth_stat = s.depth + 1
+    accept_mean = sum_acc / jnp.maximum(n_leaves, 1).astype(dtype)
+    md_reached = ended_by_depth & ~turning_traj
+    tuning = s.draw_idx < cfg.adapt.num_tune
+    step_size_bar = jnp.exp(s.adapt.da.log_step_bar)
+
+    def write(buf, value):
+        if buf is None:
+            return None
+        return buf.at[idx_c].set(_w(draw_done, value, buf[idx_c]))
+
+    bufs = ChunkBuffers(
+        position=write(bufs.position, prop_z),
+        logp=write(bufs.logp, prop_logp),
+        energy=write(bufs.energy, prop_energy),
+        depth=write(bufs.depth, depth_stat),
+        maxdepth_reached=write(bufs.maxdepth_reached, md_reached),
+        diverging=write(bufs.diverging, diverging),
+        step_size=write(bufs.step_size, s.eps),
+        step_size_bar=write(bufs.step_size_bar, step_size_bar),
+        n_steps=write(bufs.n_steps, n_leaves),
+        mean_tree_accept=write(bufs.mean_tree_accept, accept_mean),
+        index_in_trajectory=write(bufs.index_in_trajectory, prop_idx),
+        gradient=write(bufs.gradient, prop_g),
+        mass_matrix_inv=write(bufs.mass_matrix_inv, s.adapt.inv_mass),
+        divergence_start=write(bufs.divergence_start, div_start),
+        divergence_end=write(bufs.divergence_end, div_end),
+        divergence_momentum=write(bufs.divergence_momentum, div_mom),
+        divergence_start_gradient=write(bufs.divergence_start_gradient, div_start_grad),
+    )
+
+    # adaptation (tuning draws only)
+    adapt_new = diag_adapt_update(
+        cfg.adapt, s.adapt, s.draw_idx, prop_z, prop_g, accept_mean, diverging
+    )
+    adapt = tree_where(draw_done & tuning, adapt_new, s.adapt)
+    # at the end of tuning, freeze the step size at its averaged value
+    end_of_tuning = draw_done & (s.draw_idx == cfg.adapt.num_tune - 1)
+    adapt = adapt._replace(
+        da=adapt.da._replace(
+            log_step=jnp.where(end_of_tuning, adapt.da.log_step_bar, adapt.da.log_step)
+        )
+    )
+
+    divergence_count = _w(draw_done & diverging, s.divergence_count + 1, s.divergence_count)
+    draw_idx = _w(draw_done, s.draw_idx + 1, s.draw_idx)
+    done = s.done | (draw_done & (idx + 1 >= limit))
+
+    state = s._replace(
+        position=_w(draw_done, prop_z, s.position),
+        gradient=_w(draw_done, prop_g, s.gradient),
+        logp=_w(draw_done, prop_logp, s.logp),
+        draw_idx=draw_idx,
+        adapt=adapt,
+        total_steps=total_steps,
+        divergence_count=divergence_count,
+        done=done,
+        z_minus=z_minus, p_minus=p_minus, g_minus=g_minus,
+        z_plus=z_plus, p_plus=p_plus, g_plus=g_plus,
+        rho=rho,
+        logw_traj=logw_traj,
+        prop_z=prop_z, prop_g=prop_g, prop_logp=prop_logp,
+        prop_energy=prop_energy, prop_idx=prop_idx,
+        depth=depth,
+        direction=_w(active, direction, s.direction),
+        left_idx=left_idx, right_idx=right_idx,
+        sum_acc=sum_acc, n_leaves=n_leaves,
+        diverging=diverging,
+        n_leaf=n_leaf,
+        rho_sub=rho_sub,
+        logw_sub=logw_sub,
+        sprop_z=sprop_z, sprop_g=sprop_g, sprop_logp=sprop_logp,
+        sprop_energy=sprop_energy, sprop_idx=sprop_idx,
+        turning_sub=turning_sub,
+        ckpt_p=ckpt_p, ckpt_s=ckpt_s, ckpt_top=ckpt_top,
+        div_start=div_start, div_start_grad=div_start_grad,
+        div_end=div_end, div_mom=div_mom,
+    )
+
+    # start the next draw for chains that completed one and aren't done
+    restart = draw_done & ~done
+    next_idx_c = jnp.clip(idx + 1, 0, mom_gauss.shape[0] - 1)
+    started = start_draw(cfg, state, mom_gauss[next_idx_c], jitter_us[next_idx_c])
+    state = tree_where(restart, started, state)
+    return state, bufs

@@ -134,10 +134,13 @@ class CompiledModel:
         )
 
     def with_transform_adapt(self, **kwargs: Any) -> "CompiledModel":
-        new = dataclasses.replace(self) if dataclasses.is_dataclass(self) else self
-        new._transform_adapt_args = dict(
-            getattr(self, "_transform_adapt_args", {}), **kwargs
-        )
+        merged = dict(getattr(self, "_transform_adapt_args", {}), **kwargs)
+        if dataclasses.is_dataclass(self):
+            return dataclasses.replace(self, _transform_adapt_args=merged)
+        import copy
+
+        new = copy.copy(self)
+        new._transform_adapt_args = merged
         return new
 
     def benchmark_logp(self, point, num_evals: int, cores: int | Sequence[int] = 1):

@@ -1,0 +1,204 @@
+"""Progress reporting: per-chain progress snapshots and display frontends.
+
+Mirrors the reference's progress subsystem (``src/progress.rs``): a
+``ChainProgress`` snapshot per chain delivered to (1) a user callback, (2) a
+terminal renderer, or (3) an HTML (Jupyter) renderer, at a configurable rate.
+Exceptions in callbacks are swallowed so they never kill sampling
+(``progress.rs:42-45``).  On the TPU, progress is observed at chunk
+boundaries of the device loop rather than per draw.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import sys
+import time
+import traceback
+from typing import Callable, Optional, Sequence
+
+
+@dataclasses.dataclass
+class ChainProgress:
+    """Snapshot of one chain's progress (reference ``wrapper.rs:47-104``)."""
+
+    chain_index: int
+    finished_draws: int
+    total_draws: int
+    divergences: int
+    tuning: bool
+    started: bool
+    finished: bool
+    latest_num_steps: int
+    total_num_steps: int
+    step_size: float
+    runtime_ms: float
+    divergent_draws: list
+
+    @property
+    def runtime(self) -> float:
+        return self.runtime_ms / 1000.0
+
+
+def estimate_remaining_time(progress: Sequence[ChainProgress]) -> Optional[float]:
+    """Crude remaining-time estimate from per-chain rates.
+
+    The chains advance in lockstep on the device, so the estimate is simply
+    remaining draws / observed draw rate of the slowest chain.
+    """
+    rates = []
+    remaining = 0
+    for p in progress:
+        if p.runtime_ms > 0 and p.finished_draws > 0:
+            rates.append(p.finished_draws / (p.runtime_ms / 1000.0))
+        remaining = max(remaining, p.total_draws - p.finished_draws)
+    if not rates:
+        return None
+    return remaining / min(rates)
+
+
+class ProgressHandler:
+    """Base class; dispatches snapshots at most every ``rate_ms``."""
+
+    def __init__(self, rate_ms: int = 100):
+        self.rate_ms = rate_ms
+        self._last = 0.0
+
+    def update(self, progress: list[ChainProgress], force: bool = False) -> None:
+        now = time.monotonic()
+        if not force and (now - self._last) * 1000.0 < self.rate_ms:
+            return
+        self._last = now
+        try:
+            self._render(progress)
+        except Exception:  # never kill sampling from a progress handler
+            traceback.print_exc(file=sys.stderr)
+
+    def _render(self, progress: list[ChainProgress]) -> None:
+        raise NotImplementedError
+
+    def finalize(self, progress: list[ChainProgress]) -> None:
+        self.update(progress, force=True)
+
+
+class CallbackHandler(ProgressHandler):
+    """Passes the snapshots to a user callback (``progress.rs:414-442``)."""
+
+    def __init__(self, callback: Callable, rate_ms: int = 100):
+        super().__init__(rate_ms)
+        self._callback = callback
+
+    def _render(self, progress):
+        self._callback(progress)
+
+
+class TerminalHandler(ProgressHandler):
+    """Single-line terminal progress summary."""
+
+    def __init__(self, rate_ms: int = 100, stream=None):
+        super().__init__(rate_ms)
+        self._stream = stream or sys.stderr
+        self._start = time.monotonic()
+
+    def _render(self, progress):
+        total = sum(p.total_draws for p in progress)
+        done = sum(p.finished_draws for p in progress)
+        divs = sum(p.divergences for p in progress)
+        steps = sum(p.total_num_steps for p in progress)
+        elapsed = time.monotonic() - self._start
+        rate = steps / elapsed if elapsed > 0 else 0.0
+        frac = done / total if total else 0.0
+        width = 30
+        filled = int(frac * width)
+        bar = "#" * filled + "-" * (width - filled)
+        tuning = any(p.tuning for p in progress)
+        phase = "tune" if tuning else "draw"
+        msg = (
+            f"\r[{bar}] {done}/{total} draws ({phase}) | "
+            f"divergences {divs} | {rate:,.0f} grad/s   "
+        )
+        self._stream.write(msg)
+        self._stream.flush()
+
+    def finalize(self, progress):
+        super().finalize(progress)
+        self._stream.write("\n")
+        self._stream.flush()
+
+
+class HTMLHandler(ProgressHandler):
+    """Jupyter display handler rendering an HTML table per update."""
+
+    def __init__(self, rate_ms: int = 100, template: Optional[str] = None,
+                 style: Optional[str] = None):
+        super().__init__(rate_ms)
+        from IPython.display import display
+
+        self._display = display
+        self._handle = None
+        self._template = template
+        self._style = style or ""
+
+    def _render(self, progress):
+        from IPython.display import HTML
+
+        rows = []
+        for p in progress:
+            frac = p.finished_draws / max(p.total_draws, 1)
+            rows.append(
+                f"<tr><td>{p.chain_index}</td>"
+                f"<td><progress value='{p.finished_draws}' "
+                f"max='{p.total_draws}'></progress></td>"
+                f"<td>{p.finished_draws}/{p.total_draws}</td>"
+                f"<td>{p.divergences}</td>"
+                f"<td>{'tuning' if p.tuning else 'sampling'}</td>"
+                f"<td>{p.step_size:.3g}</td>"
+                f"<td>{p.total_num_steps}</td></tr>"
+            )
+        html = HTML(
+            self._style
+            + "<table><thead><tr><th>chain</th><th></th><th>draws</th>"
+            "<th>divergences</th><th>phase</th><th>step size</th>"
+            "<th>grad evals</th></tr></thead><tbody>"
+            + "".join(rows)
+            + "</tbody></table>"
+        )
+        if self._handle is None:
+            self._handle = self._display(html, display_id=True)
+        else:
+            self._handle.update(html)
+
+
+def in_jupyter() -> bool:
+    """Environment detection (reference ``sample.py:429-469``)."""
+    try:
+        from IPython import get_ipython
+
+        ip = get_ipython()
+        if ip is None:
+            return False
+        return "IPKernelApp" in getattr(ip, "config", {})
+    except Exception:
+        return False
+
+
+def make_progress_handlers(
+    progress_bar: bool,
+    progress_callback: Optional[Callable],
+    progress_rate: int,
+    progress_template: Optional[str] = None,
+    progress_style: Optional[str] = None,
+) -> list[ProgressHandler]:
+    handlers: list[ProgressHandler] = []
+    if progress_callback is not None:
+        handlers.append(CallbackHandler(progress_callback, progress_rate))
+    if progress_bar:
+        if in_jupyter():
+            try:
+                handlers.append(
+                    HTMLHandler(progress_rate, progress_template, progress_style)
+                )
+            except Exception:
+                handlers.append(TerminalHandler(progress_rate))
+        else:
+            handlers.append(TerminalHandler(progress_rate))
+    return handlers

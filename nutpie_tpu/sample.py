@@ -1,0 +1,485 @@
+"""``sample()`` orchestration and the background sampler control plane.
+
+API parity with the reference's ``nutpie.sample`` (``sample.py:823-977``):
+the same signature, the (sampler, adaptation) -> settings mapping
+(``sample.py:1015-1046``), kwargs forwarded as flat settings updates,
+blocking and non-blocking modes with ``pause/resume/abort/cancel/inspect/
+wait`` (``sample.py:481-725``), and KeyboardInterrupt -> abort.
+
+Architecture: instead of the reference's Rust thread-per-chain sampler, a
+single background Python thread drives the jitted device loop in chunks of
+draws; control (pause/abort) and observation (progress, inspect) happen at
+chunk boundaries.  ``cores`` is accepted for compatibility but has no
+meaning on a TPU -- all chains run batched on the device mesh.
+"""
+
+from __future__ import annotations
+
+import threading
+import time
+from typing import Any, Literal, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from . import __version__ as _version
+from .model import CompiledModel, ModelDef
+from .progress import ChainProgress, make_progress_handlers
+from .sampler.adapt import AdaptConfig
+from .sampler.nuts import NutsConfig
+from .sampler.run import init_chains, make_chunk_runner, resolve_dtype
+from .settings import MclmcSettings, NutsSettings
+from .trace import assemble_trace
+
+__all__ = ["sample"]
+
+
+def _make_settings(sampler: str, adaptation: str, seed):
+    if sampler == "nuts":
+        cls = NutsSettings
+    elif sampler == "mclmc":
+        cls = MclmcSettings
+    else:
+        raise ValueError(
+            f"Unknown sampler '{sampler}'. Expected one of: 'nuts', 'mclmc'."
+        )
+    if adaptation == "low_rank":
+        return cls.LowRank(seed)
+    if adaptation == "flow":
+        return cls.Flow(seed)
+    if adaptation in ("diag", "draw_diag"):
+        settings = cls.Diag(seed)
+        if adaptation == "draw_diag":
+            settings.use_grad_based_mass_matrix = False
+        return settings
+    raise ValueError(
+        f"Unknown adaptation strategy '{adaptation}'. "
+        f"Expected one of: 'diag', 'draw_diag', 'low_rank', 'flow'."
+    )
+
+
+def _nuts_config_from_settings(settings: NutsSettings) -> NutsConfig:
+    ss = settings.adapt_options.step_size_settings
+    mm = getattr(settings.adapt_options, "mass_matrix_options", None)
+    adapt = AdaptConfig(
+        num_tune=settings.num_tune,
+        target_accept=ss.target_accept,
+        initial_step=ss.initial_step,
+        gamma=ss.adapt_options.dual_average.gamma,
+        t0=ss.adapt_options.dual_average.t0,
+        kappa=ss.adapt_options.dual_average.kappa,
+        max_step_size=ss.adapt_options.dual_average.max_step_size,
+        method=ss.adapt_options.method,
+        adam_lr=ss.adapt_options.adam.learning_rate,
+        adam_beta1=ss.adapt_options.adam.beta1,
+        adam_beta2=ss.adapt_options.adam.beta2,
+        step_size_jitter=ss.jitter,
+        switch_freq=getattr(settings.adapt_options, "mass_matrix_switch_freq", 80),
+        early_switch_freq=getattr(
+            settings.adapt_options, "early_mass_matrix_switch_freq", 10
+        ),
+        early_phase_share=getattr(settings.adapt_options, "early_phase_share", 0.3),
+        freeze_share=getattr(settings.adapt_options, "freeze_share", 0.1),
+        use_grad_based_estimate=getattr(mm, "use_grad_based_estimate", True),
+    )
+    return NutsConfig(
+        maxdepth=settings.maxdepth,
+        mindepth=settings.mindepth,
+        check_turning=settings.check_turning,
+        max_energy_error=settings.max_energy_error,
+        store_gradient=settings.store_gradient,
+        store_mass_matrix=getattr(mm, "store_mass_matrix", False),
+        store_divergences=settings.store_divergences,
+        adapt=adapt,
+    )
+
+
+def _default_chunk_size(settings, n_chains: int, dim: int, itemsize: int) -> int:
+    if settings.chunk_size is not None:
+        return max(1, int(settings.chunk_size))
+    n_vec_buffers = 1 + settings.store_gradient + 4 * settings.store_divergences
+    mm = getattr(settings.adapt_options, "mass_matrix_options", None)
+    n_vec_buffers += bool(getattr(mm, "store_mass_matrix", False))
+    bytes_per_draw = n_chains * (dim * itemsize * n_vec_buffers + 128)
+    target_bytes = 256 * 1024 * 1024
+    return int(np.clip(target_bytes // max(bytes_per_draw, 1), 8, 128))
+
+
+class _BackgroundSampler:
+    """Drives the chunked device loop in a background thread."""
+
+    def __init__(
+        self,
+        compiled_model: CompiledModel,
+        settings,
+        init_mean,
+        cores=None,
+        *,
+        progress_bar: bool = True,
+        progress_callback=None,
+        save_warmup: bool = True,
+        return_raw_trace: bool = False,
+        progress_template=None,
+        progress_style=None,
+        progress_rate: int = 100,
+        store=None,
+        store_unconstrained: bool = False,
+    ):
+        if isinstance(settings, MclmcSettings):
+            raise NotImplementedError(
+                "The MCLMC sampler is not implemented yet in nutpie_tpu"
+            )
+        self._compiled_model = compiled_model
+        self._settings = settings
+        self._save_warmup = save_warmup
+        self._return_raw_trace = return_raw_trace
+        self._store_unconstrained = store_unconstrained
+        self._zarr_store = store
+
+        seed = settings.seed
+        if seed is None:
+            seed = int(np.random.default_rng().integers(0, 2**63 - 1))
+            settings.seed = seed
+        self._seed = int(seed)
+
+        self._model: ModelDef = compiled_model._make_model(self._seed)
+        self._cfg = _nuts_config_from_settings(settings)
+        self._dtype = resolve_dtype(settings.precision)
+        self._n_chains = settings.num_chains
+        self._num_tune = settings.num_tune
+        self._num_draws = settings.num_draws
+        self._total = self._num_tune + self._num_draws
+        if init_mean is None:
+            init_mean = np.zeros(self._model.ndim)
+        self._init_mean = np.asarray(init_mean)
+
+        itemsize = jnp.dtype(self._dtype).itemsize
+        self._chunk_len = min(
+            _default_chunk_size(settings, self._n_chains, self._model.ndim, itemsize),
+            max(self._total, 1),
+        )
+
+        self._handlers = make_progress_handlers(
+            progress_bar, progress_callback, progress_rate,
+            progress_template, progress_style,
+        )
+
+        # control state
+        self._pause_evt = threading.Event()
+        self._abort_evt = threading.Event()
+        self._finished_evt = threading.Event()
+        self._lock = threading.Lock()
+        self._chunks: list[dict[str, np.ndarray]] = []
+        self._draws_done = 0
+        self._error: Optional[BaseException] = None
+        self._progress: list[ChainProgress] = []
+        self._start_time = time.monotonic()
+        self._divergent_draws: list[list[int]] = [[] for _ in range(self._n_chains)]
+
+        self._thread = threading.Thread(target=self._run, daemon=True)
+        self._thread.start()
+
+    # ------------------------------------------------------------- device loop
+
+    def _run(self) -> None:
+        try:
+            model, cfg, dtype = self._model, self._cfg, self._dtype
+            states, ok = init_chains(
+                model, cfg, self._seed, self._n_chains, self._init_mean, dtype,
+                num_try_init=self._settings.num_try_init,
+            )
+            ok = np.asarray(ok)
+            if not ok.all():
+                bad = int((~ok).sum())
+                raise RuntimeError(
+                    f"Logp function returned error for initial positions of "
+                    f"{bad} chains (tried {self._settings.num_try_init} points "
+                    f"per chain)"
+                )
+            from .parallel import shard_chains
+
+            states = shard_chains(states)
+            runner = make_chunk_runner(
+                model, cfg, self._chunk_len, dtype,
+                pool_mass_matrix=self._settings.pool_mass_matrix,
+            )
+            expand = jax.jit(jax.vmap(jax.vmap(model.expand_fn)))
+
+            start = 0
+            prev_n_steps = None
+            while start < self._total:
+                if self._abort_evt.is_set():
+                    break
+                while self._pause_evt.is_set():
+                    if self._abort_evt.is_set():
+                        break
+                    time.sleep(0.01)
+                limit = min(self._chunk_len, self._total - start)
+                states, bufs = runner(states, start, limit)
+                expanded = expand(bufs.position)
+                chunk = self._chunk_to_host(bufs, expanded, limit)
+                with self._lock:
+                    self._chunks.append(chunk)
+                    self._draws_done = start + limit
+                    div_rows = chunk["stats"]["diverging"]
+                    for c in range(self._n_chains):
+                        idxs = np.nonzero(div_rows[c])[0] + start
+                        self._divergent_draws[c].extend(int(i) for i in idxs)
+                prev_n_steps = chunk["stats"]["n_steps"]
+                self._update_progress(states, prev_n_steps, start + limit)
+                start += limit
+        except BaseException as err:  # surfaced in wait()
+            self._error = err
+        finally:
+            self._finished_evt.set()
+            for h in self._handlers:
+                try:
+                    h.finalize(self._progress)
+                except Exception:
+                    pass
+
+    def _chunk_to_host(self, bufs, expanded, limit: int) -> dict:
+        def cut(x):
+            return np.asarray(x)[:, :limit]
+
+        stats = {
+            "depth": cut(bufs.depth),
+            "maxdepth_reached": cut(bufs.maxdepth_reached),
+            "logp": cut(bufs.logp),
+            "energy": cut(bufs.energy),
+            "diverging": cut(bufs.diverging),
+            "step_size": cut(bufs.step_size),
+            "step_size_bar": cut(bufs.step_size_bar),
+            "n_steps": cut(bufs.n_steps),
+            "mean_tree_accept": cut(bufs.mean_tree_accept),
+            "index_in_trajectory": cut(bufs.index_in_trajectory),
+        }
+        if bufs.gradient is not None:
+            stats["gradient"] = cut(bufs.gradient)
+        if bufs.mass_matrix_inv is not None:
+            stats["mass_matrix_inv"] = cut(bufs.mass_matrix_inv)
+            stats["mass_matrix_stds"] = np.sqrt(stats["mass_matrix_inv"])
+        if bufs.divergence_start is not None:
+            stats["divergence_start"] = cut(bufs.divergence_start)
+            stats["divergence_end"] = cut(bufs.divergence_end)
+            stats["divergence_momentum"] = cut(bufs.divergence_momentum)
+            stats["divergence_start_gradient"] = cut(bufs.divergence_start_gradient)
+        if self._store_unconstrained:
+            stats["unconstrained_draw"] = cut(bufs.position)
+        return {
+            "position": cut(bufs.position),
+            "stats": stats,
+            "expanded": {k: cut(v) for k, v in expanded.items()},
+        }
+
+    def _update_progress(self, states, last_n_steps, finished: int) -> None:
+        draw_idx = np.asarray(states.draw_idx)
+        divergences = np.asarray(states.divergence_count)
+        total_steps = np.asarray(states.total_steps)
+        eps = np.asarray(states.eps)
+        runtime_ms = (time.monotonic() - self._start_time) * 1000.0
+        progress = []
+        for c in range(self._n_chains):
+            latest = int(last_n_steps[c, -1]) if last_n_steps is not None else 0
+            progress.append(
+                ChainProgress(
+                    chain_index=c,
+                    finished_draws=int(min(draw_idx[c], self._total)),
+                    total_draws=self._total,
+                    divergences=int(divergences[c]),
+                    tuning=bool(draw_idx[c] < self._num_tune),
+                    started=True,
+                    finished=bool(draw_idx[c] >= self._total),
+                    latest_num_steps=latest,
+                    total_num_steps=int(total_steps[c]),
+                    step_size=float(eps[c]),
+                    runtime_ms=runtime_ms,
+                    divergent_draws=list(self._divergent_draws[c]),
+                )
+            )
+        self._progress = progress
+        for h in self._handlers:
+            h.update(progress)
+
+    # --------------------------------------------------------------- assembly
+
+    def _collect(self) -> Optional[dict]:
+        with self._lock:
+            if not self._chunks:
+                return None
+            chunks = list(self._chunks)
+        out = {
+            "position": np.concatenate([c["position"] for c in chunks], axis=1),
+            "stats": {
+                k: np.concatenate([c["stats"][k] for c in chunks], axis=1)
+                for k in chunks[0]["stats"]
+            },
+            "expanded": {
+                k: np.concatenate([c["expanded"][k] for c in chunks], axis=1)
+                for k in chunks[0]["expanded"]
+            },
+        }
+        return out
+
+    def _extract(self, raw: Optional[dict]):
+        if raw is None:
+            raise RuntimeError("No draws were produced")
+        if self._return_raw_trace:
+            return raw
+        model = self._model
+        dims_map: dict[str, tuple[str, ...]] = {}
+        for v in model.expanded_variables:
+            dims_map[v.name] = tuple(v.dims or ())
+        coords = dict(model.coords)
+        coords.update(self._compiled_model.coords)
+        coords["unconstrained_parameter"] = np.asarray(
+            model.unconstrained_labels, dtype=object
+        )
+        unconstrained = None
+        if self._store_unconstrained:
+            unconstrained = {}
+            for v in model.param_variables:
+                arr = raw["position"][:, :, v.start_idx : v.end_idx]
+                arr = arr.reshape(arr.shape[:2] + v.shape)
+                unconstrained[v.name] = arr
+                dims_map.setdefault(v.name, tuple(v.dims or ()))
+        attrs = {
+            "inference_library": "nutpie_tpu",
+            "inference_library_version": _version,
+            "inference_library_settings": self._settings.as_json(),
+        }
+        return assemble_trace(
+            expanded=raw["expanded"],
+            stats=raw["stats"],
+            unconstrained=unconstrained,
+            num_tune=self._num_tune,
+            save_warmup=self._save_warmup,
+            dims_map=dims_map,
+            coords=coords,
+            attrs=attrs,
+            reparameterized_names=tuple(model.reparameterized_names),
+        )
+
+    # ---------------------------------------------------------------- control
+
+    def wait(self, timeout: Optional[float] = None):
+        """Block until sampling finishes and return the trace.
+
+        Raises ``TimeoutError`` if ``timeout`` (seconds) elapses first
+        (reference ``wrapper.rs:1108-1122``).
+        """
+        self._finished_evt.wait(timeout)
+        if not self._finished_evt.is_set():
+            raise TimeoutError("Sampling did not finish within the timeout")
+        self._thread.join()
+        if self._error is not None:
+            raise self._error
+        return self._extract(self._collect())
+
+    def pause(self):
+        """Pause the sampler (at the next chunk boundary)."""
+        self._pause_evt.set()
+
+    def resume(self):
+        """Resume a paused sampler."""
+        self._pause_evt.clear()
+
+    def abort(self):
+        """Abort sampling and return the partial trace."""
+        self._abort_evt.set()
+        self._pause_evt.clear()
+        self._thread.join()
+        if self._error is not None:
+            raise self._error
+        return self._extract(self._collect())
+
+    def cancel(self):
+        """Abort sampling and discard all draws."""
+        self._abort_evt.set()
+        self._pause_evt.clear()
+        self._thread.join()
+
+    def inspect(self):
+        """Snapshot the current partial trace while sampling continues."""
+        return self._extract(self._collect())
+
+    @property
+    def is_finished(self) -> bool:
+        return self._finished_evt.is_set()
+
+    def __del__(self):
+        try:
+            self._abort_evt.set()
+            self._pause_evt.clear()
+        except Exception:
+            pass
+
+
+def sample(
+    compiled_model: CompiledModel,
+    *,
+    draws: Optional[int] = None,
+    tune: Optional[int] = None,
+    chains: Optional[int] = None,
+    cores: Optional[int] = None,
+    seed: Optional[int] = None,
+    save_warmup: bool = True,
+    progress_bar: bool = True,
+    sampler: Literal["nuts", "mclmc"] = "nuts",
+    adaptation: Literal["diag", "draw_diag", "low_rank", "flow"] = "diag",
+    init_mean: Optional[np.ndarray] = None,
+    return_raw_trace: bool = False,
+    blocking: bool = True,
+    progress_callback: Any = None,
+    progress_template: Optional[str] = None,
+    progress_style: Optional[str] = None,
+    progress_rate: int = 100,
+    zarr_store: Any = None,
+    store_unconstrained: bool = False,
+    **kwargs,
+):
+    """Sample the posterior distribution for a compiled model.
+
+    Signature and semantics mirror the reference's ``nutpie.sample``
+    (``python/nutpie/sample.py:823-977``); see that docstring for parameter
+    details.  Differences on TPU: ``cores`` is ignored (chains run batched
+    on the device mesh) and extra keyword settings include ``precision``,
+    ``chunk_size`` and ``pool_mass_matrix``.
+    """
+    settings = _make_settings(sampler, adaptation, seed)
+    updates = dict(kwargs)
+    if tune is not None:
+        updates["num_tune"] = tune
+    if draws is not None:
+        updates["num_draws"] = draws
+    if chains is not None:
+        updates["num_chains"] = chains
+    settings.update(updates)
+    if store_unconstrained:
+        settings.store_unconstrained = True
+
+    background = _BackgroundSampler(
+        compiled_model,
+        settings,
+        init_mean,
+        cores,
+        progress_bar=progress_bar,
+        progress_callback=progress_callback,
+        save_warmup=save_warmup,
+        return_raw_trace=return_raw_trace,
+        progress_template=progress_template,
+        progress_style=progress_style,
+        progress_rate=progress_rate,
+        store=zarr_store,
+        store_unconstrained=store_unconstrained,
+    )
+    if not blocking:
+        return background
+    try:
+        return background.wait()
+    except KeyboardInterrupt:
+        return background.abort()
+    except BaseException:
+        background.cancel()
+        raise

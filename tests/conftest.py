@@ -1,0 +1,39 @@
+"""Test configuration: run JAX on a virtual 8-device CPU mesh with x64.
+
+Multi-chip sharding is validated on host platform devices
+(``xla_force_host_platform_device_count``), mirroring how the driver
+dry-runs the multi-chip path.  Must be set before JAX initializes.
+"""
+
+import os
+
+os.environ["JAX_PLATFORMS"] = "cpu"
+os.environ.setdefault("XLA_FLAGS", "")
+if "--xla_force_host_platform_device_count" not in os.environ["XLA_FLAGS"]:
+    os.environ["XLA_FLAGS"] += " --xla_force_host_platform_device_count=8"
+
+import jax  # noqa: E402
+
+# jax may already have been imported (and platform chosen) by a
+# sitecustomize that registers an accelerator plugin; force CPU via config,
+# which works post-import as long as no backend has been initialized.
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_enable_x64", True)
+# persistent compile cache: the jit programs are keyed by HLO, so repeated
+# test runs (and repeated sample() calls with identical configs) skip XLA
+jax.config.update("jax_compilation_cache_dir", "/tmp/jax_test_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+
+import pytest  # noqa: E402
+
+
+def pytest_configure(config):
+    config.addinivalue_line("markers", "pymc: tests requiring pymc")
+    config.addinivalue_line("markers", "stan: tests of the Stan frontend")
+    config.addinivalue_line("markers", "flow: tests of flow adaptation")
+    config.addinivalue_line("markers", "slow: long-running tests")
+
+
+@pytest.fixture
+def seed():
+    return 42

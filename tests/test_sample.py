@@ -1,0 +1,185 @@
+"""End-to-end sampling tests: API surface, statistics, control plane.
+
+Models the reference's test strategy (tests/test_pymc.py, tests/test_stan.py):
+tiny real models, posterior-moment checks, stats presence, async control.
+"""
+
+import numpy as np
+import pytest
+
+import nutpie_tpu
+from nutpie_tpu.frontends.pyfunc import compile_model_def
+from nutpie_tpu.models import eight_schools, std_normal
+from nutpie_tpu import diagnostics
+
+
+@pytest.fixture(scope="module")
+def normal_trace():
+    model = compile_model_def(std_normal(3, mu=3.0, sigma=1.0))
+    return nutpie_tpu.sample(
+        model, chains=4, draws=600, tune=300, seed=42, progress_bar=False
+    )
+
+
+def test_normal_moments(normal_trace):
+    # the Stan README model: x ~ normal(3, 1)
+    x = np.asarray(normal_trace.posterior["x"].values)
+    assert x.shape == (4, 600, 3)
+    assert np.abs(x.mean() - 3.0) < 0.1
+    assert np.abs(x.std() - 1.0) < 0.1
+
+
+def test_basic_stats_present(normal_trace):
+    stats = normal_trace.sample_stats
+    for name in [
+        "depth", "maxdepth_reached", "logp", "energy", "diverging",
+        "step_size", "step_size_bar", "n_steps", "mean_tree_accept",
+        "index_in_trajectory",
+    ]:
+        assert name in stats, name
+    assert np.asarray(stats["diverging"].values).sum() == 0
+    assert np.all(np.asarray(stats["step_size"].values) > 0)
+    # settings JSON attached like the reference (sample.py:666-686)
+    assert stats.attrs["inference_library"] == "nutpie_tpu"
+    import json
+
+    settings = json.loads(stats.attrs["inference_library_settings"])
+    assert settings["settings"]["num_draws"] == 600
+
+
+def test_warmup_groups(normal_trace):
+    assert "warmup_posterior" in normal_trace.groups
+    warm = np.asarray(normal_trace.warmup_posterior["x"].values)
+    assert warm.shape == (4, 300, 3)
+
+
+def test_no_warmup_group():
+    model = compile_model_def(std_normal(1))
+    trace = nutpie_tpu.sample(
+        model, chains=2, draws=100, tune=100, seed=1,
+        save_warmup=False, progress_bar=False,
+    )
+    assert "warmup_posterior" not in trace.groups
+
+
+def test_seed_determinism():
+    model = compile_model_def(std_normal(2))
+    kwargs = dict(chains=2, draws=150, tune=150, progress_bar=False)
+    t1 = nutpie_tpu.sample(model, seed=7, **kwargs)
+    t2 = nutpie_tpu.sample(model, seed=7, **kwargs)
+    t3 = nutpie_tpu.sample(model, seed=8, **kwargs)
+    x1 = np.asarray(t1.posterior["x"].values)
+    x2 = np.asarray(t2.posterior["x"].values)
+    x3 = np.asarray(t3.posterior["x"].values)
+    np.testing.assert_array_equal(x1, x2)
+    assert not np.allclose(x1, x3)
+    # chains must differ from each other
+    assert not np.allclose(x1[0], x1[1])
+
+
+def test_chunk_size_invariance():
+    """Draws must not depend on the host chunking policy."""
+    model = compile_model_def(std_normal(2))
+    kwargs = dict(chains=2, draws=120, tune=80, seed=3, progress_bar=False)
+    t1 = nutpie_tpu.sample(model, chunk_size=25, **kwargs)
+    t2 = nutpie_tpu.sample(model, chunk_size=64, **kwargs)
+    np.testing.assert_allclose(
+        np.asarray(t1.posterior["x"].values),
+        np.asarray(t2.posterior["x"].values),
+    )
+
+
+def test_store_options():
+    model = compile_model_def(std_normal(2))
+    trace = nutpie_tpu.sample(
+        model, chains=2, draws=80, tune=80, seed=5, progress_bar=False,
+        store_gradient=True, store_mass_matrix=True, store_divergences=True,
+        store_unconstrained=True,
+    )
+    stats = trace.sample_stats
+    for name in [
+        "gradient", "mass_matrix_inv", "mass_matrix_stds",
+        "divergence_start", "divergence_end", "divergence_momentum",
+        "divergence_start_gradient", "unconstrained_draw",
+    ]:
+        assert name in stats, name
+    grad = np.asarray(stats["gradient"].values)
+    x = np.asarray(stats["unconstrained_draw"].values)
+    # gradient of std normal is -x
+    np.testing.assert_allclose(grad, -x, rtol=1e-10)
+
+
+def test_eight_schools_convergence():
+    model = compile_model_def(eight_schools())
+    trace = nutpie_tpu.sample(
+        model, chains=4, draws=800, tune=400, seed=10, progress_bar=False
+    )
+    mu = np.asarray(trace.posterior["mu"].values)
+    tau = np.asarray(trace.posterior["tau"].values)
+    assert mu.shape == (4, 800)
+    r = diagnostics.rhat(mu)
+    assert r < 1.02, r
+    assert diagnostics.ess(mu) > 400
+    assert 2.0 < mu.mean() < 7.0
+    assert 1.0 < tau.mean() < 7.0
+    theta = trace.posterior["theta"]
+    assert theta.dims == ("chain", "draw", "school")
+
+
+def test_draw_diag_adaptation():
+    model = compile_model_def(std_normal(4, sigma=3.0))
+    trace = nutpie_tpu.sample(
+        model, chains=2, draws=300, tune=300, seed=2, progress_bar=False,
+        adaptation="draw_diag", store_mass_matrix=True,
+    )
+    x = np.asarray(trace.posterior["x"].values)
+    assert abs(x.std() - 3.0) < 0.35
+    mm = np.asarray(trace.sample_stats["mass_matrix_inv"].values)
+    # adapted mass matrix should approximate the posterior variance (9)
+    assert np.all(np.abs(np.log(mm[:, -1] / 9.0)) < 1.5)
+
+
+def test_target_accept():
+    model = compile_model_def(std_normal(2))
+    trace = nutpie_tpu.sample(
+        model, chains=2, draws=400, tune=400, seed=4, progress_bar=False,
+        target_accept=0.95,
+    )
+    acc = np.asarray(trace.sample_stats["mean_tree_accept"].values)
+    assert abs(acc.mean() - 0.95) < 0.05
+
+
+def test_maxdepth():
+    model = compile_model_def(std_normal(2, sigma=100.0))
+    trace = nutpie_tpu.sample(
+        model, chains=2, draws=50, tune=50, seed=6, progress_bar=False,
+        maxdepth=3, step_size_adapt_method="0.001",
+    )
+    depth = np.asarray(trace.sample_stats["depth"].values)
+    n_steps = np.asarray(trace.sample_stats["n_steps"].values)
+    assert depth.max() <= 3
+    assert n_steps.max() <= 2**3
+    assert np.asarray(trace.sample_stats["maxdepth_reached"].values).any()
+
+
+def test_return_raw_trace():
+    model = compile_model_def(std_normal(2))
+    raw = nutpie_tpu.sample(
+        model, chains=2, draws=50, tune=50, seed=1, progress_bar=False,
+        return_raw_trace=True,
+    )
+    assert isinstance(raw, dict)
+    assert raw["position"].shape == (2, 100, 2)
+
+
+def test_init_failure_raises():
+    import jax.numpy as jnp
+
+    bad = nutpie_tpu.from_pyfunc(
+        2, lambda: (lambda x: jnp.full((), -jnp.inf))
+    )
+    with pytest.raises(RuntimeError, match="initial position"):
+        nutpie_tpu.sample(
+            bad, chains=2, draws=10, tune=10, seed=1, progress_bar=False,
+            num_try_init=3,
+        )

@@ -1,0 +1,727 @@
+"""Tree-walking evaluator turning a Stan AST into traceable JAX functions.
+
+The evaluator runs at JAX trace time: everything derived from ``data`` is
+concrete (shapes, loop bounds, conditions), while parameters are tracers.
+Loops unroll during tracing; XLA then fuses the whole log density into the
+sampler's kernel, so the tree-walk costs nothing at run time.
+
+Static/traced split: array dimensions, for-loop bounds, and if/while
+conditions must be data-dependent only (as in Stan, where they must be
+``int`` expressions -- integers cannot be parameters).  ``reject()``
+statements map to a ``-inf`` target, which the NUTS kernel treats as a
+recoverable divergence, matching the reference's error protocol
+(``LogpError::is_recoverable``, ``src/stan.rs:392-396``).
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Any, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from . import ast_nodes as A
+from .errors import StanCompileError, StanRuntimeError
+from .stanlib import DISTRIBUTIONS, FUNCTIONS, LCCDFS, LCDFS, is_multivariate
+from .transforms import make_transform
+
+
+class _BreakLoop(Exception):
+    pass
+
+
+class _ContinueLoop(Exception):
+    pass
+
+
+class _ReturnValue(Exception):
+    def __init__(self, value):
+        self.value = value
+
+
+class Ctx:
+    """Mutable evaluation context for one logp/expand call."""
+
+    def __init__(self, mode: str):
+        self.mode = mode  # "logp" | "expand"
+        self.target = jnp.zeros(())
+
+
+def _static_int(value, node, what="expression") -> int:
+    try:
+        if isinstance(value, (bool, np.bool_)):
+            return int(value)
+        arr = np.asarray(value)
+        if arr.size != 1:
+            raise ValueError
+        return int(arr.reshape(()))
+    except Exception:
+        raise StanCompileError(
+            f"{what} must be a data-dependent integer (parameters cannot "
+            f"appear in array sizes, loop bounds, or conditions)",
+            node.line, node.col,
+        ) from None
+
+
+def _static_bool(value, node) -> bool:
+    return bool(_static_int(value, node, "condition"))
+
+
+def _is_concrete(x) -> bool:
+    return isinstance(x, (int, float, bool, np.generic, np.ndarray))
+
+
+class UserFunction:
+    def __init__(self, interp: "StanInterpreter", fdef: A.FunctionDef):
+        self.interp = interp
+        self.fdef = fdef
+
+    def __call__(self, ctx: Ctx, *args):
+        env = dict(self.interp.base_env)
+        if len(args) != len(self.fdef.params):
+            raise StanCompileError(
+                f"function {self.fdef.name} expects {len(self.fdef.params)} "
+                f"arguments, got {len(args)}",
+                self.fdef.line, self.fdef.col,
+            )
+        for (ptype, pname), val in zip(self.fdef.params, args):
+            env[pname] = val
+        try:
+            self.interp.exec_stmts(self.fdef.body, env, ctx)
+        except _ReturnValue as ret:
+            return ret.value
+        return None
+
+
+class StanInterpreter:
+    """Binds a parsed program to data and produces logp/expand callables."""
+
+    def __init__(self, program: A.Program, data: dict[str, Any]):
+        self.program = program
+        self.functions: dict[str, UserFunction] = {}
+        for fdef in program.functions:
+            self.functions[fdef.name] = UserFunction(self, fdef)
+
+        # ---- data block
+        env: dict[str, Any] = {}
+        for decl in program.data:
+            name = decl.name
+            if name not in data:
+                raise StanRuntimeError(
+                    f"Model data variable {name!r} was not provided"
+                )
+            value = np.asarray(data[name])
+            if decl.type.base == "int":
+                value = value.astype(np.int64)
+            else:
+                value = value.astype(np.float64)
+            shape = self._decl_shape(decl, env)
+            if tuple(value.shape) != shape:
+                # allow scalars passed as 0-d/1-element
+                if math.prod(value.shape, start=1) == math.prod(shape, start=1):
+                    value = value.reshape(shape)
+                else:
+                    raise StanRuntimeError(
+                        f"Data variable {name!r} has shape {value.shape}, "
+                        f"expected {shape}"
+                    )
+            if decl.type.base == "row_vector" and value.ndim == 1:
+                value = value.reshape(1, -1)
+            env[name] = value
+
+        # ---- transformed data (concrete evaluation)
+        ctx = Ctx("logp")
+        self.exec_stmts(program.transformed_data, env, ctx)
+        self.base_env = env
+
+        # ---- parameter layout
+        self.params: list[dict] = []
+        offset = 0
+        for decl in program.parameters:
+            base = decl.type.base
+            type_dims = tuple(
+                _static_int(self.eval_expr(d, env, ctx), d, "dimension")
+                for d in decl.type.dims
+            )
+            array_dims = tuple(
+                _static_int(self.eval_expr(d, env, ctx), d, "array dimension")
+                for d in decl.type.array_dims
+            )
+            constraints = {
+                key: self.eval_expr(expr, env, ctx)
+                for key, expr in decl.type.constraints.items()
+            }
+            if base == "matrix":
+                con_shape = array_dims + type_dims
+            elif base in ("vector", "row_vector"):
+                con_shape = array_dims + type_dims
+            elif base in ("real",):
+                con_shape = array_dims
+            else:  # constrained structured types
+                con_shape = array_dims + self._constrained_type_shape(
+                    base, type_dims
+                )
+            size, fwd = make_transform(
+                base,
+                array_dims + type_dims if base not in (
+                    "simplex", "ordered", "positive_ordered", "unit_vector",
+                    "sum_to_zero_vector", "cholesky_factor_corr",
+                    "cholesky_factor_cov", "corr_matrix", "cov_matrix",
+                ) else array_dims + type_dims,
+                constraints,
+                type_dims,
+            )
+            self.params.append(
+                dict(
+                    name=decl.name,
+                    base=base,
+                    offset=offset,
+                    size=size,
+                    forward=fwd,
+                    constrained_shape=con_shape,
+                    row_vector=(base == "row_vector"),
+                )
+            )
+            offset += size
+        self.ndim = offset
+
+        # ---- output variable metadata
+        self.tp_decls = [s for s in program.transformed_parameters
+                         if isinstance(s, A.Decl)]
+        self.gq_decls = [s for s in program.generated_quantities
+                         if isinstance(s, A.Decl)]
+
+    # ------------------------------------------------------------- shapes
+
+    def _constrained_type_shape(self, base: str, type_dims) -> tuple:
+        if base in ("simplex", "ordered", "positive_ordered", "unit_vector",
+                    "sum_to_zero_vector"):
+            return (type_dims[0],)
+        if base in ("cholesky_factor_corr", "corr_matrix", "cov_matrix"):
+            return (type_dims[0], type_dims[0])
+        if base == "cholesky_factor_cov":
+            k = type_dims[0]
+            m = type_dims[1] if len(type_dims) > 1 else k
+            return (k, m)
+        return tuple(type_dims)
+
+    def _decl_shape(self, decl: A.Decl, env) -> tuple:
+        ctx = Ctx("logp")
+        type_dims = tuple(
+            _static_int(self.eval_expr(d, env, ctx), d, "dimension")
+            for d in decl.type.dims
+        )
+        array_dims = tuple(
+            _static_int(self.eval_expr(d, env, ctx), d, "array dimension")
+            for d in decl.type.array_dims
+        )
+        base = decl.type.base
+        if base in ("int", "real", "complex"):
+            return array_dims
+        if base == "row_vector":
+            return array_dims + (1,) + type_dims
+        if base in ("vector", "matrix"):
+            return array_dims + type_dims
+        return array_dims + self._constrained_type_shape(base, type_dims)
+
+    # ---------------------------------------------------------- entry points
+
+    def constrain(self, x, ctx: Ctx, env: dict) -> None:
+        """Apply constraint transforms, filling env and adding Jacobians."""
+        for p in self.params:
+            u = x[p["offset"] : p["offset"] + p["size"]]
+            value, logj = p["forward"](u)
+            if p["row_vector"] and value.ndim == 1:
+                value = value.reshape(1, -1)
+            env[p["name"]] = value
+            ctx.target = ctx.target + logj
+
+    def logp(self, x) -> jax.Array:
+        ctx = Ctx("logp")
+        env = dict(self.base_env)
+        self.constrain(x, ctx, env)
+        self.exec_stmts(self.program.transformed_parameters, env, ctx)
+        self.exec_stmts(self.program.model, env, ctx)
+        return jnp.asarray(ctx.target, jnp.result_type(float))
+
+    def expand(self, x) -> dict[str, jax.Array]:
+        ctx = Ctx("expand")
+        env = dict(self.base_env)
+        self.constrain(x, ctx, env)
+        self.exec_stmts(self.program.transformed_parameters, env, ctx)
+        self.exec_stmts(self.program.generated_quantities, env, ctx)
+        out = {}
+        for p in self.params:
+            out[p["name"]] = jnp.asarray(env[p["name"]])
+        for decl in self.tp_decls + self.gq_decls:
+            if decl.name in env:
+                out[decl.name] = jnp.asarray(env[decl.name])
+        return out
+
+    def output_variables(self) -> list[tuple[str, np.dtype, tuple, None]]:
+        """Names/dtypes/shapes of everything expand() returns."""
+        out = []
+        for p in self.params:
+            shape = p["constrained_shape"]
+            if p["row_vector"]:
+                shape = tuple(shape) + ()
+            out.append((p["name"], np.dtype(np.float64), tuple(shape), None))
+        env = dict(self.base_env)
+        for decl in self.tp_decls + self.gq_decls:
+            shape = self._decl_shape(decl, env)
+            dtype = np.int64 if decl.type.base == "int" else np.float64
+            out.append((decl.name, np.dtype(dtype), tuple(shape), None))
+        return out
+
+    def param_variables(self) -> list[tuple[str, np.dtype, tuple, Any]]:
+        """Unconstrained-space slices per parameter.
+
+        Dims are named ``{name}_unc_dim_*`` because constraint transforms
+        (simplex, cholesky factors, ...) change the size relative to the
+        constrained variable of the same name.
+        """
+        out = []
+        for p in self.params:
+            if p["size"] != 1:
+                shape = (p["size"],)
+                dims = (f"{p['name']}_unc_dim_0",)
+            else:
+                shape, dims = (), ()
+            out.append((p["name"], np.dtype(np.float64), shape, dims))
+        return out
+
+    # ------------------------------------------------------------ statements
+
+    def exec_stmts(self, stmts, env: dict, ctx: Ctx) -> None:
+        for stmt in stmts:
+            self.exec_stmt(stmt, env, ctx)
+
+    def exec_stmt(self, stmt, env: dict, ctx: Ctx) -> None:
+        if isinstance(stmt, A.Decl):
+            if stmt.init is not None:
+                value = self.eval_expr(stmt.init, env, ctx)
+                if stmt.type.base == "row_vector" and getattr(
+                    value, "ndim", 0
+                ) == 1:
+                    value = jnp.asarray(value).reshape(1, -1)
+                env[stmt.name] = value
+            else:
+                shape = self._decl_shape_dynamic(stmt, env, ctx)
+                if stmt.type.base == "int":
+                    env[stmt.name] = np.zeros(shape, np.int64) if shape else 0
+                else:
+                    env[stmt.name] = jnp.zeros(shape)
+            return
+        if isinstance(stmt, A.Assign):
+            self.exec_assign(stmt, env, ctx)
+            return
+        if isinstance(stmt, A.Sampling):
+            self.exec_sampling(stmt, env, ctx)
+            return
+        if isinstance(stmt, A.TargetPlus):
+            value = self.eval_expr(stmt.value, env, ctx)
+            ctx.target = ctx.target + jnp.sum(jnp.asarray(value))
+            return
+        if isinstance(stmt, A.For):
+            lo = _static_int(
+                self.eval_expr(stmt.lower, env, ctx), stmt, "loop bound"
+            )
+            hi = _static_int(
+                self.eval_expr(stmt.upper, env, ctx), stmt, "loop bound"
+            )
+            for i in range(lo, hi + 1):
+                env[stmt.var] = i
+                try:
+                    self.exec_stmts(stmt.body, env, ctx)
+                except _ContinueLoop:
+                    continue
+                except _BreakLoop:
+                    break
+            return
+        if isinstance(stmt, A.While):
+            guard = 0
+            while _static_bool(self.eval_expr(stmt.cond, env, ctx), stmt):
+                guard += 1
+                if guard > 1_000_000:
+                    raise StanRuntimeError("while loop exceeded 1e6 iterations")
+                try:
+                    self.exec_stmts(stmt.body, env, ctx)
+                except _ContinueLoop:
+                    continue
+                except _BreakLoop:
+                    break
+            return
+        if isinstance(stmt, A.If):
+            cond = self.eval_expr(stmt.cond, env, ctx)
+            if _is_concrete(cond):
+                if bool(np.asarray(cond)):
+                    self.exec_stmts(stmt.then, env, ctx)
+                else:
+                    self.exec_stmts(stmt.orelse, env, ctx)
+                return
+            raise StanCompileError(
+                "if conditions depending on parameters are not supported "
+                "in statement position (use the ternary operator `? :` for "
+                "parameter-dependent selection)",
+                stmt.line, stmt.col,
+            )
+        if isinstance(stmt, A.Break):
+            raise _BreakLoop
+        if isinstance(stmt, A.Continue):
+            raise _ContinueLoop
+        if isinstance(stmt, A.Return):
+            value = (
+                self.eval_expr(stmt.value, env, ctx)
+                if stmt.value is not None else None
+            )
+            raise _ReturnValue(value)
+        if isinstance(stmt, A.Print):
+            for arg in stmt.args:
+                self.eval_expr(arg, env, ctx)  # evaluate for side effects only
+            return
+        if isinstance(stmt, A.Reject):
+            # recoverable model error -> -inf target -> divergence in NUTS
+            ctx.target = ctx.target + (-jnp.inf)
+            return
+        raise StanCompileError(
+            f"unsupported statement {type(stmt).__name__}", stmt.line, stmt.col
+        )
+
+    def _decl_shape_dynamic(self, decl: A.Decl, env, ctx) -> tuple:
+        type_dims = tuple(
+            _static_int(self.eval_expr(d, env, ctx), d, "dimension")
+            for d in decl.type.dims
+        )
+        array_dims = tuple(
+            _static_int(self.eval_expr(d, env, ctx), d, "array dimension")
+            for d in decl.type.array_dims
+        )
+        base = decl.type.base
+        if base in ("int", "real"):
+            return array_dims
+        if base == "row_vector":
+            return array_dims + (1,) + type_dims
+        if base in ("vector",):
+            return array_dims + type_dims
+        if base == "matrix":
+            return array_dims + type_dims
+        return array_dims + self._constrained_type_shape(base, type_dims)
+
+    def exec_assign(self, stmt: A.Assign, env: dict, ctx: Ctx) -> None:
+        value = self.eval_expr(stmt.value, env, ctx)
+        op = stmt.op
+        target = stmt.target
+        if isinstance(target, A.Var):
+            if op != "=":
+                base_val = env[target.name]
+                value = self._apply_binop(op[:-1], base_val, value, stmt)
+            env[target.name] = value
+            return
+        if isinstance(target, A.Index):
+            chain = []
+            node = target
+            while isinstance(node, A.Index):
+                chain.append(node)
+                node = node.base
+            if not isinstance(node, A.Var):
+                raise StanCompileError(
+                    "can only assign to variables", stmt.line, stmt.col
+                )
+            name = node.name
+            if name not in env:
+                raise StanCompileError(
+                    f"assignment to undeclared variable {name!r}",
+                    stmt.line, stmt.col,
+                )
+            chain.reverse()
+            idx_tuples = []
+            for ix in chain:
+                idx_tuples.extend(self._indexers(ix.indices, env, ctx))
+            idx = tuple(idx_tuples)
+            current = env[name]
+            arr = jnp.asarray(current)
+            if op != "=":
+                value = self._apply_binop(op[:-1], arr[idx], value, stmt)
+            env[name] = arr.at[idx].set(value)
+            return
+        raise StanCompileError("invalid assignment target", stmt.line, stmt.col)
+
+    def exec_sampling(self, stmt: A.Sampling, env: dict, ctx: Ctx) -> None:
+        y = self.eval_expr(stmt.target, env, ctx)
+        args = [self.eval_expr(a, env, ctx) for a in stmt.args]
+        name = stmt.dist
+        # user-defined distribution: name_lpdf in functions block
+        user = self.functions.get(name + "_lpdf") or self.functions.get(
+            name + "_lpmf"
+        )
+        if user is not None:
+            lp = user(ctx, y, *args)
+            ctx.target = ctx.target + jnp.sum(jnp.asarray(lp))
+            return
+        fn = DISTRIBUTIONS.get(name)
+        if fn is None:
+            raise StanCompileError(
+                f"unsupported distribution {name!r}", stmt.line, stmt.col
+            )
+        lp = fn(y, *args)
+        ctx.target = ctx.target + jnp.sum(jnp.asarray(lp))
+        if stmt.truncation is not None:
+            lo_e, up_e = stmt.truncation
+            lcdf = LCDFS.get(name)
+            lccdf = LCCDFS.get(name)
+            count = max(int(np.prod(np.shape(jnp.asarray(y)))), 1)
+            if lo_e is not None and up_e is not None:
+                if lcdf is None:
+                    raise StanCompileError(
+                        f"truncation not supported for {name!r}",
+                        stmt.line, stmt.col,
+                    )
+                lo = self.eval_expr(lo_e, env, ctx)
+                up = self.eval_expr(up_e, env, ctx)
+                lz = jnp.log(
+                    jnp.exp(lcdf(up, *args)) - jnp.exp(lcdf(lo, *args))
+                )
+                ctx.target = ctx.target - count * jnp.sum(lz)
+            elif lo_e is not None:
+                if lccdf is None:
+                    raise StanCompileError(
+                        f"truncation not supported for {name!r}",
+                        stmt.line, stmt.col,
+                    )
+                lo = self.eval_expr(lo_e, env, ctx)
+                ctx.target = ctx.target - count * jnp.sum(lccdf(lo, *args))
+            elif up_e is not None:
+                if lcdf is None:
+                    raise StanCompileError(
+                        f"truncation not supported for {name!r}",
+                        stmt.line, stmt.col,
+                    )
+                up = self.eval_expr(up_e, env, ctx)
+                ctx.target = ctx.target - count * jnp.sum(lcdf(up, *args))
+
+    # ----------------------------------------------------------- expressions
+
+    def _indexers(self, indices, env, ctx):
+        out = []
+        for ix in indices:
+            if isinstance(ix, A.Colon):
+                out.append(slice(None))
+            elif isinstance(ix, A.Range):
+                lo = (
+                    _static_int(self.eval_expr(ix.lower, env, ctx), ix, "index")
+                    if ix.lower is not None else 1
+                )
+                up = (
+                    _static_int(self.eval_expr(ix.upper, env, ctx), ix, "index")
+                    if ix.upper is not None else None
+                )
+                out.append(slice(lo - 1, up))
+            else:
+                val = self.eval_expr(ix, env, ctx)
+                if _is_concrete(val):
+                    arr = np.asarray(val)
+                    if arr.ndim == 0:
+                        out.append(int(arr) - 1)
+                    else:
+                        out.append(arr.astype(np.int64) - 1)
+                else:
+                    out.append(jnp.asarray(val) - 1)
+        return out
+
+    def _apply_binop(self, op: str, left, right, node):
+        from .stanlib import _divide, _dot
+
+        if op == "+":
+            return jnp.asarray(left) + jnp.asarray(right) if not (
+                _is_concrete(left) and _is_concrete(right)
+            ) else np.asarray(left) + np.asarray(right)
+        if op == "-":
+            return jnp.asarray(left) - jnp.asarray(right) if not (
+                _is_concrete(left) and _is_concrete(right)
+            ) else np.asarray(left) - np.asarray(right)
+        if op == "*":
+            if _is_concrete(left) and _is_concrete(right):
+                la, ra = np.asarray(left), np.asarray(right)
+                if la.ndim >= 2 or ra.ndim >= 2:
+                    return np.asarray(_dot(la, ra))
+                return la * ra
+            return _dot(left, right)
+        if op == "/":
+            if _is_concrete(left) and _is_concrete(right):
+                la, ra = np.asarray(left), np.asarray(right)
+                if la.dtype.kind == "i" and ra.dtype.kind == "i":
+                    return la // ra  # Stan integer division
+                return la / ra
+            return _divide(left, right)
+        if op == "%":
+            return np.asarray(left) % np.asarray(right) if (
+                _is_concrete(left) and _is_concrete(right)
+            ) else jnp.asarray(left) % jnp.asarray(right)
+        if op == ".*":
+            return jnp.asarray(left) * jnp.asarray(right)
+        if op == "./":
+            return jnp.asarray(left) / jnp.asarray(right)
+        if op in ("^", ".^"):
+            return jnp.asarray(left) ** jnp.asarray(right)
+        if op == "==":
+            return jnp.asarray(left) == jnp.asarray(right)
+        if op == "!=":
+            return jnp.asarray(left) != jnp.asarray(right)
+        if op == "<":
+            return jnp.asarray(left) < jnp.asarray(right)
+        if op == "<=":
+            return jnp.asarray(left) <= jnp.asarray(right)
+        if op == ">":
+            return jnp.asarray(left) > jnp.asarray(right)
+        if op == ">=":
+            return jnp.asarray(left) >= jnp.asarray(right)
+        if op == "&&":
+            return jnp.logical_and(
+                jnp.asarray(left) != 0, jnp.asarray(right) != 0
+            )
+        if op == "||":
+            return jnp.logical_or(
+                jnp.asarray(left) != 0, jnp.asarray(right) != 0
+            )
+        raise StanCompileError(f"unsupported operator {op!r}", node.line, node.col)
+
+    def eval_expr(self, node, env: dict, ctx: Ctx):
+        if isinstance(node, A.Num):
+            return node.value
+        if isinstance(node, A.StringLit):
+            return node.value
+        if isinstance(node, A.Var):
+            if node.name in env:
+                return env[node.name]
+            fn = FUNCTIONS.get(node.name)
+            if fn is not None:
+                try:
+                    return fn()
+                except TypeError:
+                    pass
+            raise StanCompileError(
+                f"undefined variable {node.name!r}", node.line, node.col
+            )
+        if isinstance(node, A.BinOp):
+            left = self.eval_expr(node.left, env, ctx)
+            right = self.eval_expr(node.right, env, ctx)
+            return self._apply_binop(node.op, left, right, node)
+        if isinstance(node, A.UnaryOp):
+            val = self.eval_expr(node.operand, env, ctx)
+            if node.op == "-":
+                return -val if _is_concrete(val) else -jnp.asarray(val)
+            if node.op == "+":
+                return val
+            if node.op == "!":
+                return jnp.logical_not(jnp.asarray(val) != 0)
+        if isinstance(node, A.Ternary):
+            cond = self.eval_expr(node.cond, env, ctx)
+            if _is_concrete(cond):
+                branch = node.if_true if bool(np.asarray(cond)) else node.if_false
+                return self.eval_expr(branch, env, ctx)
+            a = self.eval_expr(node.if_true, env, ctx)
+            b = self.eval_expr(node.if_false, env, ctx)
+            return jnp.where(jnp.asarray(cond) != 0, a, b)
+        if isinstance(node, A.Transpose):
+            from .stanlib import _transpose
+
+            return _transpose(self.eval_expr(node.operand, env, ctx))
+        if isinstance(node, A.Index):
+            base = self.eval_expr(node.base, env, ctx)
+            idx = tuple(self._indexers(node.indices, env, ctx))
+            arr = base if _is_concrete(base) else jnp.asarray(base)
+            if _is_concrete(base):
+                return np.asarray(base)[idx]
+            return arr[idx]
+        if isinstance(node, A.ArrayLit):
+            vals = [self.eval_expr(e, env, ctx) for e in node.elements]
+            if all(_is_concrete(v) for v in vals):
+                return np.stack([np.asarray(v) for v in vals])
+            return jnp.stack([jnp.asarray(v) for v in vals])
+        if isinstance(node, A.RowVectorLit):
+            vals = [self.eval_expr(e, env, ctx) for e in node.elements]
+            row = jnp.stack([jnp.asarray(v, jnp.result_type(float))
+                             for v in vals])
+            if row.ndim == 1:
+                return row.reshape(1, -1)
+            # [row_vector, row_vector, ...] -> matrix
+            return row.reshape(len(vals), -1)
+        if isinstance(node, A.Call):
+            return self.eval_call(node, env, ctx)
+        raise StanCompileError(
+            f"unsupported expression {type(node).__name__}",
+            node.line, node.col,
+        )
+
+    def eval_call(self, node: A.Call, env: dict, ctx: Ctx):
+        name = node.name
+        if name == "target":
+            return ctx.target
+        args = [self.eval_expr(a, env, ctx) for a in node.args]
+
+        # user-defined functions
+        if name in self.functions:
+            return self.functions[name](ctx, *args)
+
+        # distribution-suffixed calls: normal_lpdf(y | mu, sigma)
+        for suffix in ("_lpdf", "_lupdf", "_lpmf", "_lupmf"):
+            if name.endswith(suffix):
+                dist = name[: -len(suffix)]
+                fn = DISTRIBUTIONS.get(dist)
+                if fn is None:
+                    break
+                lp = fn(*args)
+                if is_multivariate(dist):
+                    return jnp.sum(jnp.asarray(lp))
+                return jnp.sum(jnp.asarray(lp))
+        for suffix, table in (("_lcdf", LCDFS), ("_lccdf", LCCDFS)):
+            if name.endswith(suffix):
+                dist = name[: -len(suffix)]
+                fn = table.get(dist)
+                if fn is None:
+                    raise StanCompileError(
+                        f"unsupported function {name!r}", node.line, node.col
+                    )
+                return jnp.sum(jnp.asarray(fn(*args)))
+        if name.endswith("_cdf"):
+            from .stanlib import normal_cdf
+
+            if name == "normal_cdf":
+                return normal_cdf(*args)
+            raise StanCompileError(
+                f"unsupported function {name!r}", node.line, node.col
+            )
+        if name.endswith("_rng"):
+            raise StanCompileError(
+                "_rng functions in generated quantities are not supported "
+                "yet by the TPU Stan compiler",
+                node.line, node.col,
+            )
+
+        # shape queries need concrete handling
+        if name in ("num_elements", "size"):
+            arr = args[0]
+            return int(np.prod(np.shape(arr))) if name == "num_elements" else (
+                int(np.shape(arr)[0]) if np.ndim(arr) else 1
+            )
+        if name == "rows":
+            shape = np.shape(args[0])
+            return int(shape[0]) if len(shape) >= 1 else 1
+        if name == "cols":
+            shape = np.shape(args[0])
+            return int(shape[-1]) if len(shape) >= 2 else (
+                int(shape[0]) if len(shape) == 1 else 1
+            )
+        if name == "dims":
+            return np.asarray(np.shape(args[0]), np.int64)
+
+        fn = FUNCTIONS.get(name)
+        if fn is None:
+            raise StanCompileError(
+                f"unsupported function {name!r}", node.line, node.col
+            )
+        if name in ("log2", "log10") and not args:
+            return jnp.log(2.0) if name == "log2" else jnp.log(10.0)
+        return fn(*args)

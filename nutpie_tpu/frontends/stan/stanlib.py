@@ -1,0 +1,589 @@
+"""Stan math library and distribution implementations over jax.numpy.
+
+Value conventions: scalars are 0-d, Stan ``vector`` is a 1-D array,
+``row_vector`` is a 2-D ``(1, n)`` array, ``matrix`` is 2-D; array types
+prepend leading axes.  Distributions return *elementwise* log densities
+(including normalization constants); sampling statements sum them.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from jax.scipy import special as jsp
+
+from .errors import StanCompileError
+
+_LOG_SQRT_2PI = 0.9189385332046727  # log(sqrt(2*pi))
+
+
+def _as_f(x):
+    return jnp.asarray(x, jnp.result_type(float))
+
+
+# ----------------------------------------------------------------- densities
+
+def normal_lpdf(y, mu, sigma):
+    y, mu, sigma = _as_f(y), _as_f(mu), _as_f(sigma)
+    z = (y - mu) / sigma
+    return -0.5 * z * z - jnp.log(sigma) - _LOG_SQRT_2PI
+
+
+def std_normal_lpdf(y):
+    y = _as_f(y)
+    return -0.5 * y * y - _LOG_SQRT_2PI
+
+
+def normal_lcdf(y, mu, sigma):
+    z = (_as_f(y) - mu) / sigma
+    return jsp.log_ndtr(z)
+
+def normal_lccdf(y, mu, sigma):
+    z = (_as_f(y) - mu) / sigma
+    return jsp.log_ndtr(-z)
+
+
+def normal_cdf(y, mu, sigma):
+    return jsp.ndtr((_as_f(y) - mu) / sigma)
+
+
+def lognormal_lpdf(y, mu, sigma):
+    y = _as_f(y)
+    ly = jnp.log(y)
+    z = (ly - mu) / sigma
+    return -0.5 * z * z - jnp.log(sigma) - _LOG_SQRT_2PI - ly
+
+
+def student_t_lpdf(y, nu, mu, sigma):
+    y, nu, mu, sigma = _as_f(y), _as_f(nu), _as_f(mu), _as_f(sigma)
+    z = (y - mu) / sigma
+    return (
+        jsp.gammaln((nu + 1) / 2)
+        - jsp.gammaln(nu / 2)
+        - 0.5 * jnp.log(nu * jnp.pi)
+        - jnp.log(sigma)
+        - (nu + 1) / 2 * jnp.log1p(z * z / nu)
+    )
+
+
+def cauchy_lpdf(y, mu, sigma):
+    y, mu, sigma = _as_f(y), _as_f(mu), _as_f(sigma)
+    z = (y - mu) / sigma
+    return -jnp.log(jnp.pi) - jnp.log(sigma) - jnp.log1p(z * z)
+
+
+def double_exponential_lpdf(y, mu, sigma):
+    z = jnp.abs(_as_f(y) - mu) / sigma
+    return -jnp.log(2.0) - jnp.log(sigma) - z
+
+
+def logistic_lpdf(y, mu, sigma):
+    z = (_as_f(y) - mu) / sigma
+    return -z - jnp.log(sigma) - 2.0 * jax.nn.softplus(-z)
+
+
+def gumbel_lpdf(y, mu, beta):
+    z = (_as_f(y) - mu) / beta
+    return -jnp.log(beta) - z - jnp.exp(-z)
+
+
+def exponential_lpdf(y, lam):
+    return jnp.log(lam) - lam * _as_f(y)
+
+
+def gamma_lpdf(y, alpha, beta):
+    y, alpha, beta = _as_f(y), _as_f(alpha), _as_f(beta)
+    return (
+        alpha * jnp.log(beta) - jsp.gammaln(alpha)
+        + (alpha - 1) * jnp.log(y) - beta * y
+    )
+
+
+def inv_gamma_lpdf(y, alpha, beta):
+    y, alpha, beta = _as_f(y), _as_f(alpha), _as_f(beta)
+    return (
+        alpha * jnp.log(beta) - jsp.gammaln(alpha)
+        - (alpha + 1) * jnp.log(y) - beta / y
+    )
+
+
+def chi_square_lpdf(y, nu):
+    y, nu = _as_f(y), _as_f(nu)
+    return (
+        (nu / 2 - 1) * jnp.log(y) - y / 2
+        - (nu / 2) * jnp.log(2.0) - jsp.gammaln(nu / 2)
+    )
+
+
+def beta_lpdf(y, alpha, beta):
+    y, alpha, beta = _as_f(y), _as_f(alpha), _as_f(beta)
+    return (
+        (alpha - 1) * jnp.log(y) + (beta - 1) * jnp.log1p(-y)
+        - jsp.betaln(alpha, beta)
+    )
+
+
+def uniform_lpdf(y, lower, upper):
+    y, lower, upper = _as_f(y), _as_f(lower), _as_f(upper)
+    inside = (y >= lower) & (y <= upper)
+    return jnp.where(inside, -jnp.log(upper - lower), -jnp.inf)
+
+
+def weibull_lpdf(y, alpha, sigma):
+    y, alpha, sigma = _as_f(y), _as_f(alpha), _as_f(sigma)
+    z = y / sigma
+    return (
+        jnp.log(alpha) - jnp.log(sigma)
+        + (alpha - 1) * jnp.log(z) - z**alpha
+    )
+
+
+def pareto_lpdf(y, y_min, alpha):
+    y, y_min, alpha = _as_f(y), _as_f(y_min), _as_f(alpha)
+    return jnp.log(alpha) + alpha * jnp.log(y_min) - (alpha + 1) * jnp.log(y)
+
+
+def bernoulli_lpmf(y, theta):
+    y, theta = _as_f(y), _as_f(theta)
+    return y * jnp.log(theta) + (1 - y) * jnp.log1p(-theta)
+
+
+def bernoulli_logit_lpmf(y, alpha):
+    y, alpha = _as_f(y), _as_f(alpha)
+    return y * alpha - jax.nn.softplus(alpha)
+
+
+def binomial_lpmf(y, n, theta):
+    y, n, theta = _as_f(y), _as_f(n), _as_f(theta)
+    return (
+        jsp.gammaln(n + 1) - jsp.gammaln(y + 1) - jsp.gammaln(n - y + 1)
+        + y * jnp.log(theta) + (n - y) * jnp.log1p(-theta)
+    )
+
+
+def binomial_logit_lpmf(y, n, alpha):
+    y, n, alpha = _as_f(y), _as_f(n), _as_f(alpha)
+    return (
+        jsp.gammaln(n + 1) - jsp.gammaln(y + 1) - jsp.gammaln(n - y + 1)
+        + y * alpha - n * jax.nn.softplus(alpha)
+    )
+
+
+def poisson_lpmf(y, lam):
+    y, lam = _as_f(y), _as_f(lam)
+    return y * jnp.log(lam) - lam - jsp.gammaln(y + 1)
+
+
+def poisson_log_lpmf(y, alpha):
+    y, alpha = _as_f(y), _as_f(alpha)
+    return y * alpha - jnp.exp(alpha) - jsp.gammaln(y + 1)
+
+
+def neg_binomial_2_lpmf(y, mu, phi):
+    y, mu, phi = _as_f(y), _as_f(mu), _as_f(phi)
+    return (
+        jsp.gammaln(y + phi) - jsp.gammaln(phi) - jsp.gammaln(y + 1)
+        + phi * (jnp.log(phi) - jnp.log(phi + mu))
+        + y * (jnp.log(mu) - jnp.log(phi + mu))
+    )
+
+
+def neg_binomial_2_log_lpmf(y, eta, phi):
+    return neg_binomial_2_lpmf(y, jnp.exp(_as_f(eta)), phi)
+
+
+def categorical_lpmf(y, theta):
+    # y: int (or int array), theta: simplex vector
+    y = jnp.asarray(y)
+    logt = jnp.log(_as_f(theta))
+    return jnp.take(logt, y - 1, axis=-1)
+
+
+def categorical_logit_lpmf(y, beta):
+    y = jnp.asarray(y)
+    logp = jax.nn.log_softmax(_as_f(beta), axis=-1)
+    return jnp.take(logp, y - 1, axis=-1)
+
+
+def dirichlet_lpdf(theta, alpha):
+    theta, alpha = _as_f(theta), _as_f(alpha)
+    return (
+        jnp.sum((alpha - 1) * jnp.log(theta), axis=-1)
+        + jsp.gammaln(jnp.sum(alpha, axis=-1))
+        - jnp.sum(jsp.gammaln(alpha), axis=-1)
+    )
+
+
+def multi_normal_lpdf(y, mu, Sigma):
+    y, mu, Sigma = _as_f(y), _as_f(mu), _as_f(Sigma)
+    d = y.shape[-1]
+    chol = jnp.linalg.cholesky(Sigma)
+    diff = y - mu
+    z = jax.scipy.linalg.solve_triangular(chol, diff, lower=True)
+    return (
+        -0.5 * jnp.sum(z * z, axis=-1)
+        - jnp.sum(jnp.log(jnp.diagonal(chol, axis1=-2, axis2=-1)), axis=-1)
+        - 0.5 * d * jnp.log(2 * jnp.pi)
+    )
+
+
+def multi_normal_cholesky_lpdf(y, mu, L):
+    y, mu, L = _as_f(y), _as_f(mu), _as_f(L)
+    d = y.shape[-1]
+    diff = y - mu
+    z = jax.scipy.linalg.solve_triangular(L, diff, lower=True)
+    return (
+        -0.5 * jnp.sum(z * z, axis=-1)
+        - jnp.sum(jnp.log(jnp.diagonal(L, axis1=-2, axis2=-1)), axis=-1)
+        - 0.5 * d * jnp.log(2 * jnp.pi)
+    )
+
+
+def lkj_corr_cholesky_lpdf(L, eta):
+    L, eta = _as_f(L), _as_f(eta)
+    K = L.shape[-1]
+    diag = jnp.diagonal(L, axis1=-2, axis2=-1)
+    exponents = K - jnp.arange(2, K + 1) + 2.0 * eta - 2.0
+    # density over the cholesky factor (without the normalizing constant,
+    # which does not depend on L)
+    return jnp.sum(exponents * jnp.log(diag[..., 1:]), axis=-1)
+
+
+DISTRIBUTIONS = {
+    "normal": normal_lpdf,
+    "std_normal": std_normal_lpdf,
+    "lognormal": lognormal_lpdf,
+    "student_t": student_t_lpdf,
+    "cauchy": cauchy_lpdf,
+    "double_exponential": double_exponential_lpdf,
+    "logistic": logistic_lpdf,
+    "gumbel": gumbel_lpdf,
+    "exponential": exponential_lpdf,
+    "gamma": gamma_lpdf,
+    "inv_gamma": inv_gamma_lpdf,
+    "chi_square": chi_square_lpdf,
+    "beta": beta_lpdf,
+    "uniform": uniform_lpdf,
+    "weibull": weibull_lpdf,
+    "pareto": pareto_lpdf,
+    "bernoulli": bernoulli_lpmf,
+    "bernoulli_logit": bernoulli_logit_lpmf,
+    "binomial": binomial_lpmf,
+    "binomial_logit": binomial_logit_lpmf,
+    "poisson": poisson_lpmf,
+    "poisson_log": poisson_log_lpmf,
+    "neg_binomial_2": neg_binomial_2_lpmf,
+    "neg_binomial_2_log": neg_binomial_2_log_lpmf,
+    "categorical": categorical_lpmf,
+    "categorical_logit": categorical_logit_lpmf,
+    "dirichlet": dirichlet_lpdf,
+    "multi_normal": multi_normal_lpdf,
+    "multi_normal_cholesky": multi_normal_cholesky_lpdf,
+    "lkj_corr_cholesky": lkj_corr_cholesky_lpdf,
+}
+
+# distributions whose lpdf reduces over the last axis (not elementwise)
+_MULTIVARIATE = {
+    "dirichlet", "multi_normal", "multi_normal_cholesky", "lkj_corr_cholesky",
+}
+
+# lcdf/lccdf lookups for truncation
+LCDFS = {
+    "normal": normal_lcdf,
+}
+LCCDFS = {
+    "normal": normal_lccdf,
+}
+
+
+def is_multivariate(name: str) -> bool:
+    return name in _MULTIVARIATE
+
+
+# ------------------------------------------------------------ math functions
+
+def _transpose(x):
+    x = jnp.asarray(x)
+    if x.ndim == 0:
+        return x
+    if x.ndim == 1:
+        return x.reshape(1, -1)
+    if x.ndim == 2 and x.shape[0] == 1:
+        return x.ravel()
+    return jnp.swapaxes(x, -1, -2)
+
+
+def _dot(a, b):
+    """Stan's ``*``: matrix product respecting vector/row_vector shapes."""
+    a, b = jnp.asarray(a), jnp.asarray(b)
+    if a.ndim == 0 or b.ndim == 0:
+        return a * b
+    if a.ndim == 1 and b.ndim == 1:
+        # vector * vector is ill-typed in Stan; the common intent in the
+        # models we accept is elementwise only via .*; treat as dot error
+        raise StanCompileError(
+            "vector * vector is not defined in Stan; use dot_product or .*"
+        )
+    if a.ndim == 1 and b.ndim == 2:
+        # vector(n) * row_vector(1,m) -> outer (n,m); vector * matrix invalid
+        if b.shape[0] == 1:
+            return jnp.outer(a, b.ravel())
+        raise StanCompileError("vector * matrix is not defined in Stan")
+    if a.ndim == 2 and b.ndim == 1:
+        # matrix(m,n) * vector(n) -> vector(m); row_vector(1,n) * vector -> real
+        out = a @ b
+        if a.shape[0] == 1:
+            return out[0]
+        return out
+    return a @ b
+
+
+def _divide(a, b):
+    a, b = jnp.asarray(a), jnp.asarray(b)
+    if b.ndim == 2 and a.ndim >= 1:
+        # matrix division A / B = A B^-1
+        return jnp.linalg.solve(_transpose(b), _transpose(a)).T
+    return a / b
+
+
+def _softmax(x):
+    return jax.nn.softmax(jnp.asarray(x), axis=-1)
+
+
+def _log_sum_exp(*args):
+    if len(args) == 1:
+        return jsp.logsumexp(jnp.asarray(args[0]))
+    return jsp.logsumexp(jnp.stack([jnp.asarray(a) for a in args]))
+
+
+def _rep_vector(x, n):
+    return jnp.full((int(n),), x, jnp.result_type(float))
+
+
+def _rep_row_vector(x, n):
+    return jnp.full((1, int(n)), x, jnp.result_type(float))
+
+
+def _rep_matrix(x, m, n=None):
+    x = jnp.asarray(x)
+    if n is None:
+        # rep_matrix(vector, n) -> n copies of the vector as columns
+        if x.ndim == 1:
+            return jnp.tile(x[:, None], (1, int(m)))
+        if x.ndim == 2 and x.shape[0] == 1:
+            return jnp.tile(x, (int(m), 1))
+        raise StanCompileError("rep_matrix: unsupported arguments")
+    return jnp.full((int(m), int(n)), x, jnp.result_type(float))
+
+
+def _rep_array(x, *dims):
+    dims = tuple(int(d) for d in dims)
+    x = jnp.asarray(x)
+    return jnp.broadcast_to(x, dims + x.shape)
+
+
+def _to_vector(x):
+    x = jnp.asarray(x)
+    if x.ndim == 2:
+        # matrix -> column-major ravel (Stan is column-major)
+        return x.T.ravel()
+    return x.ravel()
+
+
+def _to_matrix(x, m=None, n=None):
+    x = jnp.asarray(x)
+    if m is None:
+        return jnp.atleast_2d(x)
+    return x.ravel(order="F").reshape((int(m), int(n)), order="F") if hasattr(
+        x, "ravel"
+    ) else x
+
+
+def _segment(x, start, n):
+    return jax.lax.dynamic_slice_in_dim(
+        jnp.asarray(x), jnp.asarray(start) - 1, int(n), axis=0
+    )
+
+
+def _head(x, n):
+    return jnp.asarray(x)[: int(n)]
+
+
+def _tail(x, n):
+    x = jnp.asarray(x)
+    return x[x.shape[0] - int(n):]
+
+
+def _append_row(a, b):
+    a, b = jnp.atleast_1d(jnp.asarray(a)), jnp.atleast_1d(jnp.asarray(b))
+    if a.ndim == 1 and b.ndim == 1:
+        return jnp.concatenate([a, b])
+    return jnp.concatenate([jnp.atleast_2d(a), jnp.atleast_2d(b)], axis=0)
+
+
+def _append_col(a, b):
+    a, b = jnp.asarray(a), jnp.asarray(b)
+    if a.ndim <= 1 and b.ndim <= 1:
+        return jnp.concatenate(
+            [jnp.atleast_2d(a), jnp.atleast_2d(b)], axis=1
+        )
+    return jnp.concatenate([jnp.atleast_2d(a), jnp.atleast_2d(b)], axis=1)
+
+
+def _quad_form(A, B):
+    B = jnp.asarray(B)
+    return _transpose(B) @ jnp.asarray(A) @ B
+
+
+def _sd(x):
+    x = jnp.asarray(x)
+    return jnp.std(x, ddof=1)
+
+
+def _variance(x):
+    x = jnp.asarray(x)
+    return jnp.var(x, ddof=1)
+
+
+def _int_div(a, b):
+    return a // b
+
+
+FUNCTIONS = {
+    # elementary
+    "abs": jnp.abs, "fabs": jnp.abs, "fmin": jnp.minimum, "fmax": jnp.maximum,
+    "min": lambda *a: jnp.minimum(*a) if len(a) == 2 else jnp.min(jnp.asarray(a[0])),
+    "max": lambda *a: jnp.maximum(*a) if len(a) == 2 else jnp.max(jnp.asarray(a[0])),
+    "sqrt": jnp.sqrt, "cbrt": jnp.cbrt, "square": jnp.square,
+    "exp": jnp.exp, "exp2": jnp.exp2, "expm1": jnp.expm1,
+    "log": jnp.log, "log2": jnp.log2, "log10": jnp.log10, "log1p": jnp.log1p,
+    "log1m": lambda x: jnp.log1p(-jnp.asarray(x)),
+    "log1p_exp": lambda x: jax.nn.softplus(jnp.asarray(x)),
+    "log1m_exp": lambda x: jnp.log(-jnp.expm1(jnp.asarray(x))),
+    "log_diff_exp": lambda a, b: jnp.asarray(a) + jnp.log1p(
+        -jnp.exp(jnp.asarray(b) - jnp.asarray(a))
+    ),
+    "log_inv_logit": lambda x: -jax.nn.softplus(-jnp.asarray(x)),
+    "log1m_inv_logit": lambda x: -jax.nn.softplus(jnp.asarray(x)),
+    "inv": lambda x: 1.0 / jnp.asarray(x),
+    "inv_sqrt": lambda x: 1.0 / jnp.sqrt(jnp.asarray(x)),
+    "inv_square": lambda x: 1.0 / jnp.square(jnp.asarray(x)),
+    "inv_logit": lambda x: jax.nn.sigmoid(jnp.asarray(x)),
+    "logit": jsp.logit,
+    "pow": jnp.power, "hypot": jnp.hypot,
+    "floor": jnp.floor, "ceil": jnp.ceil, "round": jnp.round,
+    "trunc": jnp.trunc, "fmod": jnp.fmod, "fdim": lambda a, b: jnp.maximum(
+        jnp.asarray(a) - jnp.asarray(b), 0.0
+    ),
+    "step": lambda x: jnp.where(jnp.asarray(x) >= 0, 1.0, 0.0),
+    "int_step": lambda x: jnp.where(jnp.asarray(x) > 0, 1, 0),
+    "sin": jnp.sin, "cos": jnp.cos, "tan": jnp.tan,
+    "asin": jnp.arcsin, "acos": jnp.arccos, "atan": jnp.arctan,
+    "atan2": jnp.arctan2,
+    "sinh": jnp.sinh, "cosh": jnp.cosh, "tanh": jnp.tanh,
+    "asinh": jnp.arcsinh, "acosh": jnp.arccosh, "atanh": jnp.arctanh,
+    "lgamma": jsp.gammaln, "tgamma": lambda x: jnp.exp(jsp.gammaln(jnp.asarray(x))),
+    "digamma": jsp.digamma,
+    "lmgamma": lambda k, x: jsp.multigammaln(jnp.asarray(x), int(k)),
+    "lbeta": jsp.betaln,
+    "binomial_coefficient_log": lambda n, k: (
+        jsp.gammaln(jnp.asarray(n) + 1) - jsp.gammaln(jnp.asarray(k) + 1)
+        - jsp.gammaln(jnp.asarray(n) - jnp.asarray(k) + 1)
+    ),
+    "lchoose": lambda n, k: (
+        jsp.gammaln(jnp.asarray(n) + 1) - jsp.gammaln(jnp.asarray(k) + 1)
+        - jsp.gammaln(jnp.asarray(n) - jnp.asarray(k) + 1)
+    ),
+    "lmultiply": lambda a, b: jnp.asarray(a) * jnp.log(jnp.asarray(b)),
+    "multiply_log": lambda a, b: jnp.asarray(a) * jnp.log(jnp.asarray(b)),
+    "erf": jsp.erf, "erfc": jsp.erfc, "Phi": jsp.ndtr,
+    "Phi_approx": lambda x: jax.nn.sigmoid(
+        0.07056 * jnp.asarray(x) ** 3 + 1.5976 * jnp.asarray(x)
+    ),
+    "inv_Phi": jsp.ndtri,
+    # reductions / vector ops
+    "sum": lambda x: jnp.sum(jnp.asarray(x)),
+    "prod": lambda x: jnp.prod(jnp.asarray(x)),
+    "mean": lambda x: jnp.mean(jnp.asarray(x)),
+    "sd": _sd, "variance": _variance,
+    "log_sum_exp": _log_sum_exp,
+    "softmax": _softmax,
+    "log_softmax": lambda x: jax.nn.log_softmax(jnp.asarray(x), axis=-1),
+    "cumulative_sum": lambda x: jnp.cumsum(jnp.asarray(x), axis=-1),
+    "dot_product": lambda a, b: jnp.sum(
+        jnp.ravel(jnp.asarray(a)) * jnp.ravel(jnp.asarray(b))
+    ),
+    "dot_self": lambda x: jnp.sum(jnp.square(jnp.ravel(jnp.asarray(x)))),
+    "columns_dot_product": lambda a, b: jnp.sum(
+        jnp.asarray(a) * jnp.asarray(b), axis=0
+    ).reshape(1, -1),
+    "rows_dot_product": lambda a, b: jnp.sum(
+        jnp.asarray(a) * jnp.asarray(b), axis=1
+    ),
+    "distance": lambda a, b: jnp.sqrt(
+        jnp.sum(jnp.square(jnp.ravel(jnp.asarray(a)) - jnp.ravel(jnp.asarray(b))))
+    ),
+    "squared_distance": lambda a, b: jnp.sum(
+        jnp.square(jnp.ravel(jnp.asarray(a)) - jnp.ravel(jnp.asarray(b)))
+    ),
+    "sort_asc": lambda x: jnp.sort(jnp.asarray(x)),
+    "sort_desc": lambda x: -jnp.sort(-jnp.asarray(x)),
+    "reverse": lambda x: jnp.flip(jnp.asarray(x), axis=0),
+    # shapes / construction
+    "rep_vector": _rep_vector,
+    "rep_row_vector": _rep_row_vector,
+    "rep_matrix": _rep_matrix,
+    "rep_array": _rep_array,
+    "to_vector": _to_vector,
+    "to_row_vector": lambda x: _to_vector(x).reshape(1, -1),
+    "to_array_1d": _to_vector,
+    "to_matrix": _to_matrix,
+    "linspaced_vector": lambda n, a, b: jnp.linspace(a, b, int(n)),
+    "ones_vector": lambda n: jnp.ones(int(n)),
+    "zeros_vector": lambda n: jnp.zeros(int(n)),
+    "ones_row_vector": lambda n: jnp.ones((1, int(n))),
+    "zeros_row_vector": lambda n: jnp.zeros((1, int(n))),
+    "identity_matrix": lambda n: jnp.eye(int(n)),
+    "head": _head, "tail": _tail, "segment": _segment,
+    "append_row": _append_row, "append_col": _append_col,
+    # linear algebra
+    "diag_matrix": lambda x: jnp.diag(jnp.ravel(jnp.asarray(x))),
+    "diagonal": lambda x: jnp.diagonal(jnp.asarray(x)),
+    "transpose": _transpose,
+    "inverse": jnp.linalg.inv,
+    "cholesky_decompose": jnp.linalg.cholesky,
+    "determinant": jnp.linalg.det,
+    "log_determinant": lambda x: jnp.linalg.slogdet(jnp.asarray(x))[1],
+    "trace": jnp.trace,
+    "quad_form": _quad_form,
+    "quad_form_diag": lambda A, v: jnp.asarray(A)
+    * (jnp.ravel(jnp.asarray(v))[:, None] * jnp.ravel(jnp.asarray(v))[None, :]),
+    "diag_pre_multiply": lambda v, A: jnp.ravel(jnp.asarray(v))[:, None]
+    * jnp.asarray(A),
+    "diag_post_multiply": lambda A, v: jnp.asarray(A)
+    * jnp.ravel(jnp.asarray(v))[None, :],
+    "multiply_lower_tri_self_transpose": lambda L: jnp.asarray(L)
+    @ _transpose(jnp.asarray(L)),
+    "mdivide_left_tri_low": lambda L, b: jax.scipy.linalg.solve_triangular(
+        jnp.asarray(L), jnp.asarray(b), lower=True
+    ),
+    "mdivide_right_tri_low": lambda b, L: jax.scipy.linalg.solve_triangular(
+        jnp.asarray(L).T, jnp.asarray(b).T, lower=False
+    ).T,
+    "mdivide_left": lambda A, b: jnp.linalg.solve(jnp.asarray(A), jnp.asarray(b)),
+    # mixtures
+    "log_mix": lambda theta, a, b: jnp.logaddexp(
+        jnp.log(jnp.asarray(theta)) + jnp.asarray(a),
+        jnp.log1p(-jnp.asarray(theta)) + jnp.asarray(b),
+    ),
+    # constants
+    # (log2()/log10() as 0-arg constants are handled by arity dispatch in
+    # the interpreter; the dict entries above are the 1-arg functions)
+    "pi": lambda: jnp.pi,
+    "e": lambda: jnp.e,
+    "sqrt2": lambda: jnp.sqrt(2.0),
+    "machine_precision": lambda: jnp.finfo(jnp.result_type(float)).eps,
+    "positive_infinity": lambda: jnp.inf,
+    "negative_infinity": lambda: -jnp.inf,
+    "not_a_number": lambda: jnp.nan,
+}

@@ -1,0 +1,298 @@
+"""Stan frontend tests (marker: stan), modeled on the reference's
+tests/test_stan.py plus compiler-specific coverage."""
+
+import numpy as np
+import pytest
+
+import nutpie_tpu
+from nutpie_tpu.frontends.stan import (
+    StanCompileError,
+    StanRuntimeError,
+    compile_stan_model,
+)
+
+pytestmark = pytest.mark.stan
+
+
+README_MODEL = """
+data {
+    real mu;
+}
+parameters {
+    real x;
+}
+model {
+    x ~ normal(mu, 1);
+}
+"""
+
+
+def test_readme_model():
+    compiled = compile_stan_model(code=README_MODEL).with_data(mu=3.0)
+    trace = nutpie_tpu.sample(
+        compiled, chains=4, draws=500, tune=300, seed=42, progress_bar=False
+    )
+    x = np.asarray(trace.posterior["x"].values)
+    assert x.shape == (4, 500)
+    assert abs(x.mean() - 3.0) < 0.1
+    assert abs(x.std() - 1.0) < 0.1
+
+
+def test_missing_data_raises():
+    compiled = compile_stan_model(code=README_MODEL)
+    with pytest.raises(StanRuntimeError, match="data was not provided"):
+        nutpie_tpu.sample(compiled, chains=1, draws=10, tune=10,
+                          progress_bar=False)
+
+
+def test_syntax_error_location():
+    with pytest.raises(StanCompileError, match="line"):
+        compile_stan_model(code="parameters { real x } model { }")
+
+
+def test_constraints_and_transformed_parameters():
+    code = """
+    data {
+        int<lower=0> N;
+        vector[N] y;
+    }
+    parameters {
+        real mu;
+        real<lower=0> sigma;
+    }
+    transformed parameters {
+        real log_sigma = log(sigma);
+    }
+    model {
+        mu ~ normal(0, 10);
+        sigma ~ lognormal(0, 1);
+        y ~ normal(mu, sigma);
+    }
+    generated quantities {
+        real mean_y = mean(y);
+    }
+    """
+    rng = np.random.default_rng(0)
+    y = 2.5 + 0.7 * rng.standard_normal(200)
+    compiled = compile_stan_model(code=code).with_data(N=len(y), y=y)
+    assert compiled.n_dim == 2
+    trace = nutpie_tpu.sample(
+        compiled, chains=2, draws=500, tune=300, seed=1, progress_bar=False
+    )
+    mu = np.asarray(trace.posterior["mu"].values)
+    sigma = np.asarray(trace.posterior["sigma"].values)
+    assert abs(mu.mean() - 2.5) < 0.1
+    assert abs(sigma.mean() - 0.7) < 0.1
+    assert np.all(sigma > 0)
+    ls = np.asarray(trace.posterior["log_sigma"].values)
+    np.testing.assert_allclose(ls, np.log(sigma), rtol=1e-6)
+    my = np.asarray(trace.posterior["mean_y"].values)
+    np.testing.assert_allclose(my, y.mean(), rtol=1e-6)
+
+
+def test_eight_schools_stan():
+    code = """
+    data {
+        int<lower=0> J;
+        array[J] real y;
+        array[J] real<lower=0> sigma;
+    }
+    parameters {
+        real mu;
+        real<lower=0> tau;
+        vector[J] theta_raw;
+    }
+    transformed parameters {
+        vector[J] theta = mu + tau * theta_raw;
+    }
+    model {
+        mu ~ normal(0, 5);
+        tau ~ cauchy(0, 5);
+        theta_raw ~ std_normal();
+        for (j in 1:J) {
+            y[j] ~ normal(theta[j], sigma[j]);
+        }
+    }
+    """
+    y = [28.0, 8.0, -3.0, 7.0, -1.0, 1.0, 18.0, 12.0]
+    sigma = [15.0, 10.0, 16.0, 11.0, 9.0, 11.0, 10.0, 18.0]
+    compiled = compile_stan_model(code=code).with_data(J=8, y=y, sigma=sigma)
+    trace = nutpie_tpu.sample(
+        compiled, chains=2, draws=600, tune=400, seed=3, progress_bar=False
+    )
+    mu = np.asarray(trace.posterior["mu"].values)
+    theta = np.asarray(trace.posterior["theta"].values)
+    assert theta.shape == (2, 600, 8)
+    assert 2.0 < mu.mean() < 7.0
+
+
+def test_logistic_regression_matrix():
+    code = """
+    data {
+        int<lower=0> N;
+        int<lower=0> K;
+        matrix[N, K] X;
+        array[N] int<lower=0, upper=1> y;
+    }
+    parameters {
+        vector[K] beta;
+        real alpha;
+    }
+    model {
+        beta ~ normal(0, 1);
+        alpha ~ normal(0, 1);
+        y ~ bernoulli_logit(alpha + X * beta);
+    }
+    """
+    rng = np.random.default_rng(1)
+    N, K = 300, 4
+    X = rng.standard_normal((N, K))
+    beta_true = np.array([1.0, -0.5, 0.25, 0.0])
+    logits = X @ beta_true - 0.3
+    y = (rng.random(N) < 1 / (1 + np.exp(-logits))).astype(int)
+    compiled = compile_stan_model(code=code).with_data(N=N, K=K, X=X, y=y)
+    trace = nutpie_tpu.sample(
+        compiled, chains=2, draws=500, tune=300, seed=5, progress_bar=False
+    )
+    beta = np.asarray(trace.posterior["beta"].values).mean(axis=(0, 1))
+    assert np.all(np.abs(beta - beta_true) < 0.45), beta
+
+
+def test_simplex_and_ordered():
+    code = """
+    data {
+        int<lower=1> K;
+    }
+    parameters {
+        simplex[K] theta;
+        ordered[K] c;
+    }
+    model {
+        theta ~ dirichlet(rep_vector(2.0, K));
+        c ~ normal(0, 1);
+    }
+    """
+    compiled = compile_stan_model(code=code).with_data(K=4)
+    # unconstrained: (K-1) + K
+    assert compiled.n_dim == 7
+    trace = nutpie_tpu.sample(
+        compiled, chains=2, draws=400, tune=300, seed=7, progress_bar=False
+    )
+    theta = np.asarray(trace.posterior["theta"].values)
+    np.testing.assert_allclose(theta.sum(axis=-1), 1.0, rtol=1e-6)
+    assert np.all(theta > 0)
+    # Dirichlet(2,2,2,2) mean is 0.25
+    assert np.all(np.abs(theta.mean(axis=(0, 1)) - 0.25) < 0.05)
+    c = np.asarray(trace.posterior["c"].values)
+    assert np.all(np.diff(c, axis=-1) > 0)
+
+
+def test_user_functions():
+    code = """
+    functions {
+        real my_square(real x) {
+            return x * x;
+        }
+        real double_lpdf(real y, real mu) {
+            return normal_lpdf(y | mu, 0.5);
+        }
+    }
+    parameters {
+        real x;
+    }
+    model {
+        x ~ double(my_square(2.0) - 4.0);
+    }
+    """
+    compiled = compile_stan_model(code=code)
+    trace = nutpie_tpu.sample(
+        compiled, chains=2, draws=400, tune=300, seed=9, progress_bar=False
+    )
+    x = np.asarray(trace.posterior["x"].values)
+    assert abs(x.mean()) < 0.1
+    assert abs(x.std() - 0.5) < 0.1
+
+
+def test_target_plus_and_loops():
+    code = """
+    data {
+        int<lower=0> N;
+        vector[N] y;
+    }
+    parameters {
+        real mu;
+    }
+    model {
+        target += normal_lpdf(mu | 0, 10);
+        for (n in 1:N) {
+            target += normal_lpdf(y[n] | mu, 1);
+        }
+    }
+    """
+    rng = np.random.default_rng(2)
+    y = 1.5 + rng.standard_normal(50)
+    compiled = compile_stan_model(code=code).with_data(N=50, y=y)
+    trace = nutpie_tpu.sample(
+        compiled, chains=2, draws=400, tune=300, seed=11, progress_bar=False
+    )
+    mu = np.asarray(trace.posterior["mu"].values)
+    assert abs(mu.mean() - y.mean()) < 0.1
+
+
+def test_truncation():
+    code = """
+    parameters {
+        real<lower=0> x;
+    }
+    model {
+        x ~ normal(0, 1) T[0, ];
+    }
+    """
+    compiled = compile_stan_model(code=code)
+    trace = nutpie_tpu.sample(
+        compiled, chains=2, draws=600, tune=300, seed=13, progress_bar=False
+    )
+    x = np.asarray(trace.posterior["x"].values)
+    assert np.all(x > 0)
+    # half-normal mean = sqrt(2/pi) ~ 0.7979
+    assert abs(x.mean() - 0.7979) < 0.07
+
+
+def test_unsupported_construct_errors():
+    code = """
+    parameters { real x; }
+    model {
+        x ~ some_unknown_dist(1, 2);
+    }
+    """
+    compiled = compile_stan_model(code=code)
+    with pytest.raises(StanCompileError, match="unsupported distribution"):
+        nutpie_tpu.sample(compiled, chains=1, draws=10, tune=10,
+                          progress_bar=False)
+
+
+def test_transformed_data():
+    code = """
+    data {
+        int<lower=0> N;
+        vector[N] y;
+    }
+    transformed data {
+        real y_mean = mean(y);
+        vector[N] y_centered = y - y_mean;
+    }
+    parameters {
+        real delta;
+    }
+    model {
+        y_centered ~ normal(delta, 1);
+    }
+    """
+    rng = np.random.default_rng(3)
+    y = 5.0 + rng.standard_normal(100)
+    compiled = compile_stan_model(code=code).with_data(N=100, y=y)
+    trace = nutpie_tpu.sample(
+        compiled, chains=2, draws=300, tune=300, seed=15, progress_bar=False
+    )
+    delta = np.asarray(trace.posterior["delta"].values)
+    assert abs(delta.mean()) < 0.15

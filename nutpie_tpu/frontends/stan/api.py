@@ -73,13 +73,18 @@ class CompiledStanModel(CompiledModel):
         return {name: shape for name, _, shape, _ in interp.output_variables()}
 
     def _make_model(self, seed: int) -> ModelDef:
+        # the model is seed-independent; memoize so repeated sample() calls
+        # reuse the same ModelDef (and therefore the compiled XLA program)
+        cached = getattr(self, "_model_def_cache", None)
+        if cached is not None:
+            return cached
         interp = self._interpreter()
         expanded_vars = [
             (name, dtype, shape, self._dims.get(name))
             for name, dtype, shape, _ in interp.output_variables()
         ]
         param_vars = interp.param_variables()
-        return make_model(
+        model = make_model(
             interp.ndim,
             interp.logp,
             expand_fn=interp.expand,
@@ -87,6 +92,8 @@ class CompiledStanModel(CompiledModel):
             param_vars=param_vars,
             coords=self._coords,
         )
+        object.__setattr__(self, "_model_def_cache", model)
+        return model
 
 
 def compile_stan_model(

@@ -26,7 +26,7 @@ import numpy as np
 from . import __version__ as _version
 from .model import CompiledModel, ModelDef
 from .progress import ChainProgress, make_progress_handlers
-from .sampler.adapt import AdaptConfig
+from .sampler.adapt import AdaptConfig, make_schedule
 from .sampler.nuts import NutsConfig
 from .sampler.run import init_chains, make_chunk_runner, resolve_dtype
 from .settings import MclmcSettings, NutsSettings
@@ -95,6 +95,56 @@ def _nuts_config_from_settings(settings: NutsSettings) -> NutsConfig:
     )
 
 
+# (model identity, config, chunk shape) -> jitted chunk runner.  jax's jit
+# cache is keyed on function identity, so without this every sample() call
+# would re-trace and re-compile the machine even for identical configs.
+_RUNNER_CACHE: dict = {}
+
+
+def _cached_chunk_runner(model: ModelDef, cfg: NutsConfig, chunk_len: int,
+                         dtype, n_chains: int, pool: bool):
+    import weakref
+
+    key = (id(model), cfg, chunk_len, jnp.dtype(dtype).name, n_chains, pool)
+    hit = _RUNNER_CACHE.get(key)
+    if hit is not None:
+        ref, runner = hit
+        if ref() is model:
+            return runner
+    runner = make_chunk_runner(model, cfg, chunk_len, dtype, pool_mass_matrix=pool)
+    if len(_RUNNER_CACHE) > 64:
+        _RUNNER_CACHE.clear()
+    _RUNNER_CACHE[key] = (weakref.ref(model), runner)
+    return runner
+
+
+def _mclmc_config_from_settings(settings: MclmcSettings) -> "MclmcConfig":
+    from .sampler.mclmc import MclmcConfig
+
+    ss = settings.adapt_options.step_size_settings
+    mm = getattr(settings.adapt_options, "mass_matrix_options", None)
+    adapt = AdaptConfig(
+        num_tune=settings.num_tune,
+        switch_freq=getattr(settings.adapt_options, "mass_matrix_switch_freq", 80),
+        early_switch_freq=getattr(
+            settings.adapt_options, "early_mass_matrix_switch_freq", 10
+        ),
+        use_grad_based_estimate=getattr(mm, "use_grad_based_estimate", True),
+        target_accept=ss.target_accept,
+        initial_step=ss.initial_step,
+    )
+    return MclmcConfig(
+        step_size=settings.step_size,
+        momentum_decoherence_length=settings.momentum_decoherence_length,
+        steps_per_draw=max(1, int(round(settings.subsample_frequency))),
+        dynamic_step_size=settings.dynamic_step_size,
+        max_energy_error=settings.max_energy_error,
+        store_gradient=settings.store_gradient,
+        store_mass_matrix=getattr(mm, "store_mass_matrix", False),
+        adapt=adapt,
+    )
+
+
 def _default_chunk_size(settings, n_chains: int, dim: int, itemsize: int) -> int:
     if settings.chunk_size is not None:
         return max(1, int(settings.chunk_size))
@@ -126,10 +176,7 @@ class _BackgroundSampler:
         store=None,
         store_unconstrained: bool = False,
     ):
-        if isinstance(settings, MclmcSettings):
-            raise NotImplementedError(
-                "The MCLMC sampler is not implemented yet in nutpie_tpu"
-            )
+        self._kind = "mclmc" if isinstance(settings, MclmcSettings) else "nuts"
         self._compiled_model = compiled_model
         self._settings = settings
         self._save_warmup = save_warmup
@@ -144,7 +191,10 @@ class _BackgroundSampler:
         self._seed = int(seed)
 
         self._model: ModelDef = compiled_model._make_model(self._seed)
-        self._cfg = _nuts_config_from_settings(settings)
+        if self._kind == "mclmc":
+            self._cfg = _mclmc_config_from_settings(settings)
+        else:
+            self._cfg = _nuts_config_from_settings(settings)
         self._dtype = resolve_dtype(settings.precision)
         self._n_chains = settings.num_chains
         self._num_tune = settings.num_tune
@@ -185,10 +235,21 @@ class _BackgroundSampler:
     def _run(self) -> None:
         try:
             model, cfg, dtype = self._model, self._cfg, self._dtype
-            states, ok = init_chains(
-                model, cfg, self._seed, self._n_chains, self._init_mean, dtype,
-                num_try_init=self._settings.num_try_init,
-            )
+            if self._kind == "mclmc":
+                from .sampler.mclmc import (
+                    init_mclmc_chains,
+                    make_mclmc_chunk_runner,
+                )
+
+                states, ok = init_mclmc_chains(
+                    model, cfg, self._seed, self._n_chains, self._init_mean,
+                    dtype, num_try_init=self._settings.num_try_init,
+                )
+            else:
+                states, ok = init_chains(
+                    model, cfg, self._seed, self._n_chains, self._init_mean,
+                    dtype, num_try_init=self._settings.num_try_init,
+                )
             ok = np.asarray(ok)
             if not ok.all():
                 bad = int((~ok).sum())
@@ -200,10 +261,15 @@ class _BackgroundSampler:
             from .parallel import shard_chains
 
             states = shard_chains(states)
-            runner = make_chunk_runner(
-                model, cfg, self._chunk_len, dtype,
-                pool_mass_matrix=self._settings.pool_mass_matrix,
-            )
+            if self._kind == "mclmc":
+                runner = make_mclmc_chunk_runner(
+                    model, cfg, self._chunk_len, dtype
+                )
+            else:
+                runner = _cached_chunk_runner(
+                    model, cfg, self._chunk_len, dtype, self._n_chains,
+                    self._settings.pool_mass_matrix,
+                )
             expand = jax.jit(jax.vmap(jax.vmap(model.expand_fn)))
 
             start = 0
@@ -216,7 +282,9 @@ class _BackgroundSampler:
                         break
                     time.sleep(0.01)
                 limit = min(self._chunk_len, self._total - start)
-                states, bufs = runner(states, start, limit)
+                states, bufs = runner(
+                    states, start, limit, make_schedule(cfg.adapt, self._num_tune)
+                )
                 expanded = expand(bufs.position)
                 chunk = self._chunk_to_host(bufs, expanded, limit)
                 with self._lock:
@@ -243,28 +311,13 @@ class _BackgroundSampler:
         def cut(x):
             return np.asarray(x)[:, :limit]
 
-        stats = {
-            "depth": cut(bufs.depth),
-            "maxdepth_reached": cut(bufs.maxdepth_reached),
-            "logp": cut(bufs.logp),
-            "energy": cut(bufs.energy),
-            "diverging": cut(bufs.diverging),
-            "step_size": cut(bufs.step_size),
-            "step_size_bar": cut(bufs.step_size_bar),
-            "n_steps": cut(bufs.n_steps),
-            "mean_tree_accept": cut(bufs.mean_tree_accept),
-            "index_in_trajectory": cut(bufs.index_in_trajectory),
-        }
-        if bufs.gradient is not None:
-            stats["gradient"] = cut(bufs.gradient)
-        if bufs.mass_matrix_inv is not None:
-            stats["mass_matrix_inv"] = cut(bufs.mass_matrix_inv)
+        stats = {}
+        for name, value in bufs._asdict().items():
+            if value is None or name == "position":
+                continue
+            stats[name] = cut(value)
+        if "mass_matrix_inv" in stats:
             stats["mass_matrix_stds"] = np.sqrt(stats["mass_matrix_inv"])
-        if bufs.divergence_start is not None:
-            stats["divergence_start"] = cut(bufs.divergence_start)
-            stats["divergence_end"] = cut(bufs.divergence_end)
-            stats["divergence_momentum"] = cut(bufs.divergence_momentum)
-            stats["divergence_start_gradient"] = cut(bufs.divergence_start_gradient)
         if self._store_unconstrained:
             stats["unconstrained_draw"] = cut(bufs.position)
         return {
@@ -277,7 +330,10 @@ class _BackgroundSampler:
         draw_idx = np.asarray(states.draw_idx)
         divergences = np.asarray(states.divergence_count)
         total_steps = np.asarray(states.total_steps)
-        eps = np.asarray(states.eps)
+        if hasattr(states, "eps"):
+            eps = np.asarray(states.eps)
+        else:
+            eps = np.exp(np.asarray(states.log_eps))
         runtime_ms = (time.monotonic() - self._start_time) * 1000.0
         progress = []
         for c in range(self._n_chains):

@@ -25,15 +25,41 @@ from __future__ import annotations
 import dataclasses
 from typing import Optional
 
+from typing import NamedTuple
+
 import jax
 import jax.numpy as jnp
 
 from .state import AdamState, DiagAdaptState, DualAvgState, WelfordState
 
 
+class Schedule(NamedTuple):
+    """Dynamic warmup-schedule scalars (not baked into the compiled program,
+    so different tune/draw counts reuse the same XLA executable)."""
+
+    num_tune: jax.Array     # i32
+    early_end: jax.Array    # i32: end of the early fast-switching phase
+    freeze_start: jax.Array # i32: start of the final step-size-only window
+
+
+def make_schedule(cfg: "AdaptConfig", num_tune: int) -> Schedule:
+    return Schedule(
+        num_tune=jnp.asarray(num_tune, jnp.int32),
+        early_end=jnp.asarray(int(cfg.early_phase_share * num_tune), jnp.int32),
+        freeze_start=jnp.asarray(
+            num_tune - int(cfg.freeze_share * num_tune), jnp.int32
+        ),
+    )
+
+
 @dataclasses.dataclass(frozen=True)
 class AdaptConfig:
-    """Static adaptation configuration, derived from settings."""
+    """Static adaptation configuration, derived from settings.
+
+    ``num_tune`` is kept for convenience but the in-graph schedule comparisons
+    use the dynamic :class:`Schedule` scalars, so changing tune/draw counts
+    does not trigger recompilation.
+    """
 
     num_tune: int
     target_accept: float = 0.8
@@ -59,14 +85,6 @@ class AdaptConfig:
     min_variance: float = 1e-12
     max_variance: float = 1e12
 
-    @property
-    def early_end(self) -> int:
-        return int(self.early_phase_share * self.num_tune)
-
-    @property
-    def freeze_start(self) -> int:
-        # the final ~freeze_share of tuning only adapts step size
-        return self.num_tune - int(self.freeze_share * self.num_tune)
 
 
 # ---------------------------------------------------------------- Welford
@@ -190,6 +208,7 @@ def _estimate_inv_mass(cfg: AdaptConfig, draws: WelfordState, grads: WelfordStat
 
 def diag_adapt_update(
     cfg: AdaptConfig,
+    sched: Schedule,
     adapt: DiagAdaptState,
     draw_idx: jax.Array,
     position: jax.Array,
@@ -225,8 +244,10 @@ def diag_adapt_update(
     )
 
     # -- window schedule
-    frozen = draw_idx >= cfg.freeze_start
-    freq = jnp.where(draw_idx < cfg.early_end, cfg.early_switch_freq, cfg.switch_freq)
+    frozen = draw_idx >= sched.freeze_start
+    freq = jnp.where(
+        draw_idx < sched.early_end, cfg.early_switch_freq, cfg.switch_freq
+    )
     switch = (~frozen) & (draw_idx > 0) & ((draw_idx + 1) % freq == 0)
 
     # recompute the estimate every (unfrozen) draw from the current window

@@ -1,0 +1,284 @@
+"""Microcanonical Langevin Monte Carlo (MCLMC) sampler.
+
+Implements the reference's experimental ``sampler="mclmc"`` mode
+(settings at ``src/wrapper.rs:662-712``): isokinetic Langevin dynamics with
+partial momentum decoherence (Robnik, De Luca, Silverstein & Seljak 2022,
+arXiv:2212.08549), preconditioned by the same gradient-based diagonal mass
+matrix as NUTS.
+
+Unlike NUTS there is no accept/reject and the trajectory length per draw is
+fixed, so the whole chunk is one ``lax.scan`` over draws with an inner
+integrator loop -- all chains in lockstep, ideal for the TPU.
+
+Warmup: the step size adapts toward a target energy-error variance per
+dimension (EEVPD), and the diagonal preconditioner uses the shared
+current/background Welford machinery.  The momentum decoherence length is
+``momentum_decoherence_length * sqrt(dim)`` in the preconditioned space.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from .adapt import (
+    AdaptConfig,
+    Schedule,
+    _estimate_inv_mass,
+    welford_add,
+    welford_init,
+)
+from .state import WelfordState, tree_where
+
+
+@dataclasses.dataclass(frozen=True)
+class MclmcConfig:
+    step_size: float = 0.5
+    momentum_decoherence_length: float = 2.0
+    steps_per_draw: int = 1
+    dynamic_step_size: bool = True
+    max_energy_error: float = 1000.0
+    target_eevpd: float = 5e-4
+    store_gradient: bool = False
+    store_mass_matrix: bool = False
+    adapt: AdaptConfig = dataclasses.field(
+        default_factory=lambda: AdaptConfig(num_tune=300)
+    )
+
+
+class MclmcState(NamedTuple):
+    rng_key: jax.Array
+    position: jax.Array      # [dim]
+    gradient: jax.Array
+    logp: jax.Array
+    velocity: jax.Array      # [dim] unit vector (preconditioned space)
+    draw_idx: jax.Array
+    log_eps: jax.Array
+    inv_mass: jax.Array
+    draws_cur: WelfordState
+    grads_cur: WelfordState
+    draws_bg: WelfordState
+    grads_bg: WelfordState
+    total_steps: jax.Array
+    divergence_count: jax.Array
+
+
+class MclmcBuffers(NamedTuple):
+    position: jax.Array
+    logp: jax.Array
+    energy_error: jax.Array
+    diverging: jax.Array
+    step_size: jax.Array
+    n_steps: jax.Array
+    gradient: jax.Array | None
+    mass_matrix_inv: jax.Array | None
+
+
+def _update_velocity(u, g_z, step, dim):
+    """Exact isokinetic velocity update for time ``step`` under gradient g_z.
+
+    u' = (u + e(sinh d + (cosh d - 1) <e,u>)) / (cosh d + <e,u> sinh d)
+    with e = -g_z/|g_z|, d = step*|g_z|/(dim-1); the kinetic-energy weight
+    change is (dim-1) * log(cosh d + <e,u> sinh d).
+    """
+    g_norm = jnp.sqrt(jnp.sum(g_z * g_z))
+    g_norm = jnp.maximum(g_norm, 1e-30)
+    e = -g_z / g_norm
+    delta = step * g_norm / (dim - 1)
+    ue = jnp.sum(u * e)
+    ch = jnp.cosh(delta)
+    sh = jnp.sinh(delta)
+    denom = ch + ue * sh
+    u_new = (u + e * (sh + (ch - 1.0) * ue)) / denom
+    u_new = u_new / jnp.sqrt(jnp.sum(u_new * u_new))
+    dke = (dim - 1) * jnp.log(denom)
+    return u_new, dke
+
+
+def _partial_refresh(u, key, eps, L, dtype):
+    nu = jnp.sqrt(jnp.expm1(2.0 * eps / L))
+    z = jax.random.normal(key, u.shape, dtype)
+    un = u + nu * z
+    return un / jnp.sqrt(jnp.sum(un * un))
+
+
+def make_mclmc_chunk_runner(model, cfg: MclmcConfig, chunk_len: int, dtype):
+    """Build the jitted chunk runner: scan over draws, inner integrator."""
+
+    logp_and_grad = jax.value_and_grad(model.logp_fn)
+    dim = model.ndim
+    L = cfg.momentum_decoherence_length * jnp.sqrt(float(dim))
+
+    def one_step(carry, key):
+        """Position-verlet step of the isokinetic dynamics + partial refresh.
+
+        Two gradient evaluations per step (midpoint for the velocity update,
+        endpoint for the energy/statistics), like the reference dynamics'
+        leapfrog.  Energy change: dKE + dV with V = -logp, so
+        dV = logp_old - logp_new.
+        """
+        x, g, logp, u, inv_mass, eps = carry
+        sigma = jnp.sqrt(inv_mass)
+        # preconditioned space z = x / sigma; dV/dz = -grad(logp) * sigma
+        x = x + 0.5 * eps * sigma * u
+        _, g_mid = logp_and_grad(x)
+        g_z = -(g_mid.astype(dtype) * sigma)
+        u, dke = _update_velocity(u, g_z, eps, dim)
+        x = x + 0.5 * eps * sigma * u
+        logp2, g2 = logp_and_grad(x)
+        de = dke + (logp - logp2.astype(dtype))
+        u = _partial_refresh(u, key, eps, L, dtype)
+        return (x, g2.astype(dtype), logp2.astype(dtype), u, inv_mass, eps), de
+
+    def one_draw(state: MclmcState, sched: Schedule, draw_keys):
+        eps = jnp.exp(state.log_eps)
+        carry = (
+            state.position, state.gradient, state.logp, state.velocity,
+            state.inv_mass, eps,
+        )
+        carry, des = jax.lax.scan(one_step, carry, draw_keys)
+        x, g, logp, u, _, _ = carry
+        de_total = jnp.sum(des)
+        var_e = jnp.mean(jnp.square(des))
+        diverging = (~jnp.isfinite(de_total)) | (
+            jnp.abs(de_total) > cfg.max_energy_error
+        )
+        # reject the draw entirely if it diverged (stay, resample velocity)
+        x = jnp.where(diverging, state.position, x)
+        g = jnp.where(diverging, state.gradient, g)
+        logp = jnp.where(diverging, state.logp, logp)
+
+        tuning = state.draw_idx < sched.num_tune
+        # -- step size adaptation toward target EEVPD
+        if cfg.dynamic_step_size:
+            eevpd = jnp.maximum(var_e / dim, 1e-20)
+            adj = 0.2 * (jnp.log(cfg.target_eevpd) - jnp.log(eevpd))
+            adj = jnp.clip(adj, -0.3, 0.3)
+            adj = jnp.where(diverging, -0.5, adj)
+            log_eps = jnp.where(tuning, state.log_eps + adj, state.log_eps)
+        else:
+            log_eps = state.log_eps
+        # -- mass matrix windows (same scheme as NUTS)
+        ok = tuning & ~diverging
+        def upd(w, val):
+            return tree_where(ok, welford_add(w, val), w)
+        draws_cur = upd(state.draws_cur, x)
+        grads_cur = upd(state.grads_cur, g)
+        draws_bg = upd(state.draws_bg, x)
+        grads_bg = upd(state.grads_bg, g)
+        frozen = state.draw_idx >= sched.freeze_start
+        freq = jnp.where(
+            state.draw_idx < sched.early_end,
+            cfg.adapt.early_switch_freq, cfg.adapt.switch_freq,
+        )
+        switch = tuning & (~frozen) & (state.draw_idx > 0) & (
+            (state.draw_idx + 1) % freq == 0
+        )
+        inv_mass = _estimate_inv_mass(
+            cfg.adapt, draws_cur, grads_cur, state.inv_mass
+        )
+        inv_mass = jnp.where(tuning & ~frozen, inv_mass, state.inv_mass)
+        fresh = welford_init(dim, dtype)
+        def sw(cur, bg):
+            new_cur = tree_where(switch, bg, cur)
+            new_bg = tree_where(switch, fresh, bg)
+            return new_cur, new_bg
+        draws_cur, draws_bg = sw(draws_cur, draws_bg)
+        grads_cur, grads_bg = sw(grads_cur, grads_bg)
+
+        new_state = state._replace(
+            position=x, gradient=g, logp=logp, velocity=u,
+            draw_idx=state.draw_idx + 1,
+            log_eps=log_eps,
+            inv_mass=inv_mass,
+            draws_cur=draws_cur, grads_cur=grads_cur,
+            draws_bg=draws_bg, grads_bg=grads_bg,
+            total_steps=state.total_steps + cfg.steps_per_draw,
+            divergence_count=state.divergence_count
+            + diverging.astype(jnp.int32),
+        )
+        stats = dict(
+            position=x, logp=logp, energy_error=de_total,
+            diverging=diverging, step_size=jnp.exp(state.log_eps),
+            n_steps=jnp.asarray(cfg.steps_per_draw, jnp.int32),
+            gradient=g if cfg.store_gradient else None,
+            mass_matrix_inv=inv_mass if cfg.store_mass_matrix else None,
+        )
+        return new_state, stats
+
+    def run_chunk(states: MclmcState, chunk_start, limit, sched: Schedule):
+        chunk_start = jnp.asarray(chunk_start, jnp.int32)
+
+        def per_chain(state: MclmcState):
+            def scan_draw(st, d):
+                draw_id = chunk_start + d
+                key_base = jax.random.fold_in(
+                    jax.random.fold_in(st.rng_key, 4), draw_id
+                )
+                draw_keys = jax.random.split(key_base, cfg.steps_per_draw)
+                new_st, stats = one_draw(st, sched, draw_keys)
+                # draws past `limit` in the final chunk are discarded by the
+                # host; mask state advancement to keep determinism exact
+                keep = d < limit
+                new_st = tree_where(keep, new_st, st)
+                return new_st, stats
+            return jax.lax.scan(
+                scan_draw, state, jnp.arange(chunk_len, dtype=jnp.int32)
+            )
+
+        states, stats = jax.vmap(per_chain)(states)
+        bufs = MclmcBuffers(
+            position=stats["position"],
+            logp=stats["logp"],
+            energy_error=stats["energy_error"],
+            diverging=stats["diverging"],
+            step_size=stats["step_size"],
+            n_steps=stats["n_steps"],
+            gradient=stats["gradient"],
+            mass_matrix_inv=stats["mass_matrix_inv"],
+        )
+        return states, bufs
+
+    return jax.jit(run_chunk, donate_argnums=(0,))
+
+
+def init_mclmc_chains(model, cfg: MclmcConfig, seed: int, n_chains: int,
+                      init_mean, dtype, num_try_init: int = 100):
+    from .adapt import init_inv_mass_from_gradient
+    from .run import init_chains as _nuts_init
+    from .nuts import NutsConfig
+
+    # reuse the NUTS init search for positions, then build MCLMC state
+    nuts_cfg = NutsConfig(adapt=cfg.adapt)
+    nuts_states, ok = _nuts_init(
+        model, nuts_cfg, seed, n_chains, init_mean, dtype, num_try_init
+    )
+
+    def build(chain_key, pos, grad, logp):
+        ukey = jax.random.fold_in(chain_key, 5)
+        u = jax.random.normal(ukey, pos.shape, dtype)
+        u = u / jnp.sqrt(jnp.sum(u * u))
+        dim = pos.shape[-1]
+        return MclmcState(
+            rng_key=chain_key,
+            position=pos, gradient=grad, logp=logp,
+            velocity=u,
+            draw_idx=jnp.zeros((), jnp.int32),
+            log_eps=jnp.asarray(jnp.log(cfg.step_size), dtype),
+            inv_mass=init_inv_mass_from_gradient(grad).astype(dtype),
+            draws_cur=welford_init(dim, dtype),
+            grads_cur=welford_init(dim, dtype),
+            draws_bg=welford_init(dim, dtype),
+            grads_bg=welford_init(dim, dtype),
+            total_steps=jnp.zeros((), jnp.int32),
+            divergence_count=jnp.zeros((), jnp.int32),
+        )
+
+    states = jax.jit(jax.vmap(build))(
+        nuts_states.rng_key, nuts_states.position, nuts_states.gradient,
+        nuts_states.logp,
+    )
+    return states, ok

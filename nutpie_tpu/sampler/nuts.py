@@ -30,6 +30,7 @@ import jax.numpy as jnp
 
 from .adapt import (
     AdaptConfig,
+    Schedule,
     diag_adapt_init,
     diag_adapt_update,
 )
@@ -111,6 +112,7 @@ def _w(mask, new, old):
 
 def start_draw(
     cfg: NutsConfig,
+    sched: Schedule,
     state: NutsMachineState,
     gauss: jax.Array,
     jitter_u: jax.Array,
@@ -118,7 +120,7 @@ def start_draw(
     """Refresh momentum and reset trajectory/subtree state for a new draw."""
     dtype = state.position.dtype
     adapt = state.adapt
-    tuning = state.draw_idx < cfg.adapt.num_tune
+    tuning = state.draw_idx < sched.num_tune
     log_eps = jnp.where(tuning, adapt.da.log_step, adapt.da.log_step_bar)
     eps = jnp.exp(log_eps)
     if cfg.adapt.step_size_jitter is not None:
@@ -232,6 +234,7 @@ def _turn(rho, p_a, p_b, inv_mass):
 def machine_step(
     cfg: NutsConfig,
     logp_and_grad,
+    sched: Schedule,
     mom_gauss: jax.Array,   # [chunk_len, dim] per-draw momentum gaussians
     jitter_us: jax.Array,   # [chunk_len]
     chunk_start: jax.Array, # scalar i32 (dynamic)
@@ -410,7 +413,7 @@ def machine_step(
     depth_stat = s.depth + 1
     accept_mean = sum_acc / jnp.maximum(n_leaves, 1).astype(dtype)
     md_reached = ended_by_depth & ~turning_traj
-    tuning = s.draw_idx < cfg.adapt.num_tune
+    tuning = s.draw_idx < sched.num_tune
     step_size_bar = jnp.exp(s.adapt.da.log_step_bar)
 
     def write(buf, value):
@@ -440,11 +443,12 @@ def machine_step(
 
     # adaptation (tuning draws only)
     adapt_new = diag_adapt_update(
-        cfg.adapt, s.adapt, s.draw_idx, prop_z, prop_g, accept_mean, diverging
+        cfg.adapt, sched, s.adapt, s.draw_idx, prop_z, prop_g, accept_mean,
+        diverging,
     )
     adapt = tree_where(draw_done & tuning, adapt_new, s.adapt)
     # at the end of tuning, freeze the step size at its averaged value
-    end_of_tuning = draw_done & (s.draw_idx == cfg.adapt.num_tune - 1)
+    end_of_tuning = draw_done & (s.draw_idx == sched.num_tune - 1)
     adapt = adapt._replace(
         da=adapt.da._replace(
             log_step=jnp.where(end_of_tuning, adapt.da.log_step_bar, adapt.da.log_step)
@@ -489,6 +493,8 @@ def machine_step(
     # start the next draw for chains that completed one and aren't done
     restart = draw_done & ~done
     next_idx_c = jnp.clip(idx + 1, 0, mom_gauss.shape[0] - 1)
-    started = start_draw(cfg, state, mom_gauss[next_idx_c], jitter_us[next_idx_c])
+    started = start_draw(
+        cfg, sched, state, mom_gauss[next_idx_c], jitter_us[next_idx_c]
+    )
     state = tree_where(restart, started, state)
     return state, bufs

@@ -24,7 +24,7 @@ import jax
 import jax.numpy as jnp
 
 from ..model import ModelDef
-from .adapt import pool_adapt_state
+from .adapt import Schedule, pool_adapt_state
 from .nuts import (
     ChunkBuffers,
     NutsConfig,
@@ -103,7 +103,7 @@ def make_chunk_runner(model: ModelDef, cfg: NutsConfig, chunk_len: int, dtype,
     def logp_and_grad(x):
         return jax.value_and_grad(model.logp_fn)(x)
 
-    def run_chunk(states: NutsMachineState, chunk_start, limit):
+    def run_chunk(states: NutsMachineState, chunk_start, limit, sched: Schedule):
         n_chains = states.done.shape[0]
         dim = states.position.shape[-1]
         chunk_start = jnp.asarray(chunk_start, jnp.int32)
@@ -138,13 +138,13 @@ def make_chunk_runner(model: ModelDef, cfg: NutsConfig, chunk_len: int, dtype,
 
         # every chain begins the chunk at a draw boundary
         states = states._replace(done=jnp.zeros_like(states.done))
-        states = jax.vmap(partial(start_draw, cfg))(
+        states = jax.vmap(partial(start_draw, cfg, sched))(
             states, mom_gauss[:, 0], jitter_us[:, 0]
         )
 
         step = jax.vmap(
             partial(machine_step, cfg, logp_and_grad),
-            in_axes=(0, 0, None, None, 0, 0),
+            in_axes=(None, 0, 0, None, None, 0, 0),
         )
 
         def cond(carry):
@@ -153,7 +153,7 @@ def make_chunk_runner(model: ModelDef, cfg: NutsConfig, chunk_len: int, dtype,
 
         def body(carry):
             st, bf = carry
-            return step(mom_gauss, jitter_us, chunk_start, limit, st, bf)
+            return step(sched, mom_gauss, jitter_us, chunk_start, limit, st, bf)
 
         states, bufs = jax.lax.while_loop(cond, body, (states, bufs))
         return states, bufs

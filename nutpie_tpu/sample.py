@@ -60,8 +60,17 @@ def _make_settings(sampler: str, adaptation: str, seed):
 
 
 def _nuts_config_from_settings(settings: NutsSettings) -> NutsConfig:
+    from .sampler.nuts import LowRankConfig
+
     ss = settings.adapt_options.step_size_settings
     mm = getattr(settings.adapt_options, "mass_matrix_options", None)
+    low_rank = None
+    if settings.adaptation == "low_rank":
+        low_rank = LowRankConfig(
+            eigval_cutoff=getattr(mm, "eigval_cutoff", 100.0),
+            gamma=getattr(mm, "gamma", 1e-5),
+            window=getattr(settings.adapt_options, "mass_matrix_switch_freq", 80),
+        )
     adapt = AdaptConfig(
         num_tune=settings.num_tune,
         target_accept=ss.target_accept,
@@ -91,6 +100,7 @@ def _nuts_config_from_settings(settings: NutsSettings) -> NutsConfig:
         store_gradient=settings.store_gradient,
         store_mass_matrix=getattr(mm, "store_mass_matrix", False),
         store_divergences=settings.store_divergences,
+        low_rank=low_rank,
         adapt=adapt,
     )
 
@@ -209,6 +219,11 @@ class _BackgroundSampler:
             _default_chunk_size(settings, self._n_chains, self._model.ndim, itemsize),
             max(self._total, 1),
         )
+        if settings.adaptation == "low_rank" and settings.chunk_size is None:
+            # align chunk boundaries with the mass-matrix switch cadence so
+            # the low-rank factor updates happen at the reference's schedule
+            freq = getattr(settings.adapt_options, "mass_matrix_switch_freq", 80)
+            self._chunk_len = min(max(freq, 1), max(self._total, 1))
 
         self._handlers = make_progress_handlers(
             progress_bar, progress_callback, progress_rate,

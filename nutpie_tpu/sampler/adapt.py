@@ -272,7 +272,8 @@ def diag_adapt_update(
         lambda r, k: jnp.where(switch, r, k), dual_avg_restart(da), da
     )
 
-    return DiagAdaptState(
+    # _replace keeps extra fields (e.g. the low-rank window state) intact
+    return adapt._replace(
         da=da, adam=adam, inv_mass=inv_mass,
         draws_cur=draws_cur, grads_cur=grads_cur,
         draws_bg=draws_bg, grads_bg=grads_bg,

@@ -34,7 +34,46 @@ from .adapt import (
     diag_adapt_init,
     diag_adapt_update,
 )
+from .low_rank import (
+    LowRankMetric,
+    identity_metric,
+    lr_sample_momentum,
+    lr_velocity,
+    lr_velocity_rows,
+)
 from .state import DiagAdaptState, NutsMachineState, tree_where
+
+
+@dataclasses.dataclass(frozen=True)
+class LowRankConfig:
+    """Low-rank mass-matrix options (reference ``wrapper.rs:307-334``)."""
+
+    eigval_cutoff: float = 100.0
+    gamma: float = 1e-5
+    max_rank: int = 32
+    # window buffer length; the metric recomputes at chunk boundaries from
+    # the draws collected since the last switch
+    window: int = 80
+
+
+class LowRankAdaptState(NamedTuple):
+    """Diag adaptation state + low-rank window and factors.
+
+    Field names overlap :class:`DiagAdaptState` so the shared update code
+    works on both via ``_replace``.
+    """
+
+    da: object
+    adam: object
+    inv_mass: jax.Array
+    draws_cur: object
+    grads_cur: object
+    draws_bg: object
+    grads_bg: object
+    win_draws: jax.Array   # [window, dim]
+    win_grads: jax.Array   # [window, dim]
+    win_count: jax.Array   # i32
+    metric: LowRankMetric
 
 
 @dataclasses.dataclass(frozen=True)
@@ -48,9 +87,30 @@ class NutsConfig:
     store_gradient: bool = False
     store_mass_matrix: bool = False
     store_divergences: bool = False
+    low_rank: Optional[LowRankConfig] = None
     adapt: AdaptConfig = dataclasses.field(
         default_factory=lambda: AdaptConfig(num_tune=300)
     )
+
+
+def metric_velocity(cfg: NutsConfig, adapt, p: jax.Array) -> jax.Array:
+    """v = M^{-1} p for the active metric."""
+    if cfg.low_rank is not None:
+        return lr_velocity(adapt.inv_mass, adapt.metric, p)
+    return adapt.inv_mass * p
+
+
+def metric_velocity_rows(cfg: NutsConfig, adapt, P: jax.Array) -> jax.Array:
+    if cfg.low_rank is not None:
+        return lr_velocity_rows(adapt.inv_mass, adapt.metric, P)
+    return P * adapt.inv_mass[None, :]
+
+
+def metric_momentum(cfg: NutsConfig, adapt, gauss: jax.Array) -> jax.Array:
+    """p ~ N(0, M) from standard gaussians."""
+    if cfg.low_rank is not None:
+        return lr_sample_momentum(adapt.inv_mass, adapt.metric, gauss)
+    return gauss / jnp.sqrt(adapt.inv_mass)
 
 
 class ChunkBuffers(NamedTuple):
@@ -125,9 +185,8 @@ def start_draw(
     eps = jnp.exp(log_eps)
     if cfg.adapt.step_size_jitter is not None:
         eps = eps * (1.0 + cfg.adapt.step_size_jitter * (2.0 * jitter_u - 1.0))
-    inv_mass = adapt.inv_mass
-    p0 = gauss / jnp.sqrt(inv_mass)
-    ke = 0.5 * jnp.dot(p0, inv_mass * p0)
+    p0 = metric_momentum(cfg, adapt, gauss)
+    ke = 0.5 * jnp.dot(p0, metric_velocity(cfg, adapt, p0))
     h0 = -state.logp + ke
     dim = state.position.shape[-1]
     nan_vec = jnp.full((dim,), jnp.nan, dtype)
@@ -189,6 +248,15 @@ def init_machine_state(
     zs = jnp.zeros((), dtype)
     zi = jnp.zeros((), jnp.int32)
     adapt = diag_adapt_init(cfg.adapt, gradient, dtype)
+    if cfg.low_rank is not None:
+        W = cfg.low_rank.window
+        adapt = LowRankAdaptState(
+            **adapt._asdict(),
+            win_draws=jnp.zeros((W, dim), dtype),
+            win_grads=jnp.zeros((W, dim), dtype),
+            win_count=zi,
+            metric=identity_metric(dim, cfg.low_rank.max_rank, dtype),
+        )
     return NutsMachineState(
         rng_key=chain_key,
         position=position.astype(dtype),
@@ -224,11 +292,9 @@ def init_machine_state(
     )
 
 
-def _turn(rho, p_a, p_b, inv_mass):
-    """Generalized U-turn criterion between trajectory ends a (left) and b."""
-    va = inv_mass * p_a
-    vb = inv_mass * p_b
-    return (jnp.dot(rho, va) <= 0) | (jnp.dot(rho, vb) <= 0)
+def _turn(rho, v_a, v_b):
+    """Generalized U-turn criterion given end velocities v = M^{-1} p."""
+    return (jnp.dot(rho, v_a) <= 0) | (jnp.dot(rho, v_b) <= 0)
 
 
 def machine_step(
@@ -245,7 +311,6 @@ def machine_step(
     """Advance one chain by one leapfrog step (vmapped over chains)."""
     dtype = s.position.dtype
     active = ~s.done
-    inv_mass = s.adapt.inv_mass
     D = s.ckpt_p.shape[0]
 
     # ------------------------------------------------ scalar randomness
@@ -273,12 +338,13 @@ def machine_step(
     g_e = jnp.where(fwd, s.g_plus, s.g_minus)
     eps_s = direction.astype(dtype) * s.eps
     p_half = p_e + 0.5 * eps_s * g_e
-    z_new = z_e + eps_s * (inv_mass * p_half)
+    z_new = z_e + eps_s * metric_velocity(cfg, s.adapt, p_half)
     logp_new, g_new = logp_and_grad(z_new)
     logp_new = logp_new.astype(dtype)
     g_new = g_new.astype(dtype)
     p_new = p_half + 0.5 * eps_s * g_new
-    ke = 0.5 * jnp.dot(p_new, inv_mass * p_new)
+    v_new = metric_velocity(cfg, s.adapt, p_new)
+    ke = 0.5 * jnp.dot(p_new, v_new)
     h = -logp_new + ke
 
     # ------------------------------------------------ leaf processing
@@ -327,8 +393,8 @@ def machine_step(
         slots = jnp.arange(D)
         slot_mask = (slots < top_after_push) & (slots >= top_after_push - tz)
         rho_ab = rho_sub_new[None, :] - ckpt_s        # [D, dim]
-        d_a = jnp.sum(rho_ab * (ckpt_p * inv_mass[None, :]), axis=1)
-        d_b = rho_ab @ (inv_mass * p_new)
+        d_a = jnp.sum(rho_ab * metric_velocity_rows(cfg, s.adapt, ckpt_p), axis=1)
+        d_b = rho_ab @ v_new
         turn_vec = (d_a <= 0) | (d_b <= 0)
         turning_here = jnp.any(turn_vec & slot_mask)
         turning_sub = s.turning_sub | (even & turning_here)
@@ -361,17 +427,14 @@ def machine_step(
     # U-turn checks on the merged trajectory (main + Stan-style cross checks)
     if cfg.check_turning:
         far_p = jnp.where(fwd, s.p_minus, s.p_plus)
-        new_end_p = p_new
         first_new_p = ckpt_p[0]
         edge_old_p = ckpt_p[D - 1]
-        t1 = _turn(rho_full, jnp.where(fwd, far_p, new_end_p),
-                   jnp.where(fwd, new_end_p, far_p), inv_mass)
-        t2 = _turn(s.rho + first_new_p,
-                   jnp.where(fwd, far_p, first_new_p),
-                   jnp.where(fwd, first_new_p, far_p), inv_mass)
-        t3 = _turn(rho_sub_new + edge_old_p,
-                   jnp.where(fwd, edge_old_p, new_end_p),
-                   jnp.where(fwd, new_end_p, edge_old_p), inv_mass)
+        v_far = metric_velocity(cfg, s.adapt, far_p)
+        v_first_new = metric_velocity(cfg, s.adapt, first_new_p)
+        v_edge_old = metric_velocity(cfg, s.adapt, edge_old_p)
+        t1 = _turn(rho_full, v_far, v_new)
+        t2 = _turn(s.rho + first_new_p, v_far, v_first_new)
+        t3 = _turn(rho_sub_new + edge_old_p, v_edge_old, v_new)
         turning_traj = merge_ok & (t1 | t2 | t3)
         turning_traj &= (s.depth + 1) >= cfg.mindepth
     else:
@@ -446,7 +509,45 @@ def machine_step(
         cfg.adapt, sched, s.adapt, s.draw_idx, prop_z, prop_g, accept_mean,
         diverging,
     )
-    adapt = tree_where(draw_done & tuning, adapt_new, s.adapt)
+    _DIAG_FIELDS = (
+        "da", "adam", "inv_mass", "draws_cur", "grads_cur",
+        "draws_bg", "grads_bg",
+    )
+    if cfg.low_rank is None:
+        adapt = tree_where(draw_done & tuning, adapt_new, s.adapt)
+    else:
+        # the diag sub-state selects on draw completion; the window buffers
+        # are updated with self-masked scatter writes (O(dim), not O(W*dim))
+        diag_sel = {
+            name: tree_where(
+                draw_done & tuning,
+                getattr(adapt_new, name),
+                getattr(s.adapt, name),
+            )
+            for name in _DIAG_FIELDS
+        }
+        W = cfg.low_rank.window
+        frozen = s.draw_idx >= sched.freeze_start
+        freq = jnp.where(
+            s.draw_idx < sched.early_end,
+            cfg.adapt.early_switch_freq, cfg.adapt.switch_freq,
+        )
+        switch = (~frozen) & (s.draw_idx > 0) & ((s.draw_idx + 1) % freq == 0)
+        ok_draw = draw_done & tuning & ~diverging
+        slot = jnp.clip(s.adapt.win_count, 0, W - 1)
+        write = ok_draw & (s.adapt.win_count < W)
+        win_draws = s.adapt.win_draws.at[slot].set(
+            _w(write, prop_z, s.adapt.win_draws[slot])
+        )
+        win_grads = s.adapt.win_grads.at[slot].set(
+            _w(write, prop_g, s.adapt.win_grads[slot])
+        )
+        win_count = jnp.where(write, s.adapt.win_count + 1, s.adapt.win_count)
+        win_count = jnp.where(ok_draw & switch, 0, win_count)
+        adapt = s.adapt._replace(
+            win_draws=win_draws, win_grads=win_grads, win_count=win_count,
+            **diag_sel,
+        )
     # at the end of tuning, freeze the step size at its averaged value
     end_of_tuning = draw_done & (s.draw_idx == sched.num_tune - 1)
     adapt = adapt._replace(

@@ -112,6 +112,32 @@ def make_chunk_runner(model: ModelDef, cfg: NutsConfig, chunk_len: int, dtype,
         if pool_mass_matrix:
             states = states._replace(adapt=pool_adapt_state(states.adapt))
 
+        if cfg.low_rank is not None:
+            # recompute the low-rank factors from the current window at the
+            # chunk boundary (all chains sit at a draw boundary here); the
+            # expensive QR/eigh runs once per chunk, not per leapfrog
+            from .low_rank import estimate_low_rank
+            from .state import tree_where as _tw
+
+            lr = cfg.low_rank
+
+            def update_metric(adapt, draw_idx):
+                metric_new = estimate_low_rank(
+                    adapt.win_draws, adapt.win_grads, adapt.win_count,
+                    adapt.inv_mass, lr.max_rank, lr.eigval_cutoff, lr.gamma,
+                )
+                due = (
+                    (draw_idx >= sched.early_end)
+                    & (draw_idx < sched.freeze_start)
+                    & (adapt.win_count >= jnp.minimum(8, lr.window))
+                )
+                metric = _tw(due, metric_new, adapt.metric)
+                return adapt._replace(metric=metric)
+
+            states = states._replace(
+                adapt=jax.vmap(update_metric)(states.adapt, states.draw_idx)
+            )
+
         # per-draw randomness, keyed by absolute draw index
         draw_ids = chunk_start + jnp.arange(chunk_len, dtype=jnp.int32)
 

@@ -213,6 +213,14 @@ def make_model(
     else:
         evars = None
     coords = dict(coords or {})
+    if pvars is not None:
+        total = sum(v.num_elements for v in pvars)
+        if total != ndim:
+            raise ValueError(
+                f"param_vars cover {total} unconstrained elements but ndim is "
+                f"{ndim} (JAX clamps out-of-bounds indexing silently, so a "
+                f"mismatch here would corrupt the model)"
+            )
     return ModelDef(
         ndim=ndim,
         logp_fn=logp_fn,

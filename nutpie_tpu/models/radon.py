@@ -82,7 +82,7 @@ def radon(
     #              floor_effect | county_floor_raw_z (n_c-1) | log_cf_sd |
     #              log_sigma
     k = n_c - 1
-    ndim = 4 + 2 * k
+    ndim = 5 + 2 * k
     s0 = 1
     s1 = s0 + k      # log_county_sd
     s2 = s1 + 1      # floor_effect

@@ -45,6 +45,67 @@ def resolve_dtype(precision: str) -> jnp.dtype:
     return jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
 
 
+def find_initial_step(cfg: NutsConfig, logp_and_grad, state, max_iters: int = 32):
+    """Stan-style reasonable-step-size search at the initial position.
+
+    Doubles/halves the step size until the one-leapfrog acceptance
+    probability crosses 0.5.  Without this, chains start with a tiny step
+    and burn thousands of maxdepth-limited gradient evaluations in the first
+    warmup draws.  Runs per chain, fully in-graph.
+    """
+    from .nuts import metric_momentum, metric_velocity
+
+    dtype = state.position.dtype
+    adapt = state.adapt
+    key = jax.random.fold_in(state.rng_key, 6)
+    gauss = jax.random.normal(key, state.position.shape, dtype)
+    p0 = metric_momentum(cfg, adapt, gauss)
+    h0 = -state.logp + 0.5 * jnp.dot(p0, metric_velocity(cfg, adapt, p0))
+
+    def accept_prob(log_eps):
+        eps = jnp.exp(log_eps)
+        p_half = p0 + 0.5 * eps * state.gradient
+        z_new = state.position + eps * metric_velocity(cfg, adapt, p_half)
+        logp_new, g_new = logp_and_grad(z_new)
+        p_new = p_half + 0.5 * eps * g_new.astype(dtype)
+        h = -logp_new.astype(dtype) + 0.5 * jnp.dot(
+            p_new, metric_velocity(cfg, adapt, p_new)
+        )
+        a = h0 - h
+        return jnp.where(jnp.isfinite(a), a, -jnp.inf)
+
+    log_eps0 = adapt.da.log_step
+    a0 = accept_prob(log_eps0)
+    direction = jnp.where(a0 > jnp.log(0.5), 1.0, -1.0).astype(dtype)
+
+    def cond(carry):
+        log_eps, i, keep_going = carry
+        return keep_going & (i < max_iters)
+
+    def body(carry):
+        log_eps, i, _ = carry
+        log_eps_new = log_eps + direction * jnp.log(2.0)
+        a = accept_prob(log_eps_new)
+        # continue while we have not crossed the 0.5 boundary
+        crossed = jnp.where(direction > 0, a <= jnp.log(0.5), a > jnp.log(0.5))
+        # on upward search, stepping past the boundary overshoots: back off
+        log_eps_out = jnp.where(
+            crossed & (direction > 0), log_eps, log_eps_new
+        )
+        return (log_eps_out, i + 1, ~crossed)
+
+    log_eps, _, _ = jax.lax.while_loop(
+        cond, body, (log_eps0, jnp.zeros((), jnp.int32), a0 > -jnp.inf)
+    )
+    log_eps = jnp.clip(log_eps, jnp.log(1e-10), jnp.log(1e3))
+    da = adapt.da._replace(
+        log_step=log_eps,
+        log_step_bar=log_eps,
+        mu=jnp.log(10.0) + log_eps,
+    )
+    return state._replace(adapt=adapt._replace(da=da))
+
+
 def init_chains(
     model: ModelDef,
     cfg: NutsConfig,
@@ -53,11 +114,13 @@ def init_chains(
     init_mean,
     dtype,
     num_try_init: int = 100,
+    step_search: bool = True,
 ):
     """Initialize all chains; retry until logp and gradient are finite.
 
     Mirrors the reference's init protocol (seeded jittered init point,
-    retried up to ``num_try_init`` times; ``src/pyfunc.rs:535-568``).
+    retried up to ``num_try_init`` times; ``src/pyfunc.rs:535-568``), plus
+    an initial step-size search the reference lacks.
     Returns the batched machine state and a per-chain success flag.
     """
     master = jax.random.key(seed)
@@ -91,6 +154,10 @@ def init_chains(
             cond, body, (jnp.ones((), jnp.int32), pos0, logp0, grad0, ok0)
         )
         state = init_machine_state(cfg, chain_key, pos, grad, logp, dtype)
+        if step_search:
+            state = find_initial_step(
+                cfg, lambda x: jax.value_and_grad(model.logp_fn)(x), state
+            )
         return state, ok
 
     return jax.jit(jax.vmap(one_chain))(chain_keys)

@@ -59,17 +59,32 @@ def _make_settings(sampler: str, adaptation: str, seed):
     )
 
 
-def _nuts_config_from_settings(settings: NutsSettings) -> NutsConfig:
+def _nuts_config_from_settings(
+    settings: NutsSettings, transform_args: Optional[dict] = None
+) -> NutsConfig:
+    import dataclasses as _dc
+
     from .sampler.nuts import LowRankConfig
+    from .transforms.flow import FlowConfig
 
     ss = settings.adapt_options.step_size_settings
     mm = getattr(settings.adapt_options, "mass_matrix_options", None)
     low_rank = None
+    flow = None
     if settings.adaptation == "low_rank":
         low_rank = LowRankConfig(
             eigval_cutoff=getattr(mm, "eigval_cutoff", 100.0),
             gamma=getattr(mm, "gamma", 1e-5),
             window=getattr(settings.adapt_options, "mass_matrix_switch_freq", 80),
+        )
+    elif settings.adaptation == "flow":
+        args = dict(getattr(settings.adapt_options, "flow", {}) or {})
+        args.update(transform_args or {})
+        freq = getattr(settings.adapt_options, "transform_update_freq", 64)
+        known = {f.name for f in _dc.fields(FlowConfig)}
+        flow = FlowConfig(
+            update_freq=freq,
+            **{k: v for k, v in args.items() if k in known},
         )
     adapt = AdaptConfig(
         num_tune=settings.num_tune,
@@ -91,6 +106,7 @@ def _nuts_config_from_settings(settings: NutsSettings) -> NutsConfig:
         early_phase_share=getattr(settings.adapt_options, "early_phase_share", 0.3),
         freeze_share=getattr(settings.adapt_options, "freeze_share", 0.1),
         use_grad_based_estimate=getattr(mm, "use_grad_based_estimate", True),
+        update_mass_matrix=flow is None,
     )
     return NutsConfig(
         maxdepth=settings.maxdepth,
@@ -100,7 +116,9 @@ def _nuts_config_from_settings(settings: NutsSettings) -> NutsConfig:
         store_gradient=settings.store_gradient,
         store_mass_matrix=getattr(mm, "store_mass_matrix", False),
         store_divergences=settings.store_divergences,
+        store_transformed=settings.store_transformed,
         low_rank=low_rank,
+        flow=flow,
         adapt=adapt,
     )
 
@@ -112,16 +130,23 @@ _RUNNER_CACHE: dict = {}
 
 
 def _cached_chunk_runner(model: ModelDef, cfg: NutsConfig, chunk_len: int,
-                         dtype, n_chains: int, pool: bool):
+                         dtype, n_chains: int, pool: bool,
+                         flow_train: bool = True):
     import weakref
 
-    key = (id(model), cfg, chunk_len, jnp.dtype(dtype).name, n_chains, pool)
+    key = (
+        id(model), cfg, chunk_len, jnp.dtype(dtype).name, n_chains, pool,
+        flow_train,
+    )
     hit = _RUNNER_CACHE.get(key)
     if hit is not None:
         ref, runner = hit
         if ref() is model:
             return runner
-    runner = make_chunk_runner(model, cfg, chunk_len, dtype, pool_mass_matrix=pool)
+    runner = make_chunk_runner(
+        model, cfg, chunk_len, dtype, pool_mass_matrix=pool,
+        flow_train=flow_train,
+    )
     if len(_RUNNER_CACHE) > 64:
         _RUNNER_CACHE.clear()
     _RUNNER_CACHE[key] = (weakref.ref(model), runner)
@@ -204,7 +229,9 @@ class _BackgroundSampler:
         if self._kind == "mclmc":
             self._cfg = _mclmc_config_from_settings(settings)
         else:
-            self._cfg = _nuts_config_from_settings(settings)
+            self._cfg = _nuts_config_from_settings(
+                settings, getattr(compiled_model, "_transform_adapt_args", None)
+            )
         self._dtype = resolve_dtype(settings.precision)
         self._n_chains = settings.num_chains
         self._num_tune = settings.num_tune
@@ -223,6 +250,10 @@ class _BackgroundSampler:
             # align chunk boundaries with the mass-matrix switch cadence so
             # the low-rank factor updates happen at the reference's schedule
             freq = getattr(settings.adapt_options, "mass_matrix_switch_freq", 80)
+            self._chunk_len = min(max(freq, 1), max(self._total, 1))
+        if settings.adaptation == "flow" and settings.chunk_size is None:
+            # chunk boundaries are where flows train
+            freq = getattr(settings.adapt_options, "transform_update_freq", 64)
             self._chunk_len = min(max(freq, 1), max(self._total, 1))
 
         self._handlers = make_progress_handlers(
@@ -249,69 +280,12 @@ class _BackgroundSampler:
 
     def _run(self) -> None:
         try:
-            model, cfg, dtype = self._model, self._cfg, self._dtype
-            if self._kind == "mclmc":
-                from .sampler.mclmc import (
-                    init_mclmc_chains,
-                    make_mclmc_chunk_runner,
-                )
-
-                states, ok = init_mclmc_chains(
-                    model, cfg, self._seed, self._n_chains, self._init_mean,
-                    dtype, num_try_init=self._settings.num_try_init,
-                )
-            else:
-                states, ok = init_chains(
-                    model, cfg, self._seed, self._n_chains, self._init_mean,
-                    dtype, num_try_init=self._settings.num_try_init,
-                )
-            ok = np.asarray(ok)
-            if not ok.all():
-                bad = int((~ok).sum())
-                raise RuntimeError(
-                    f"Logp function returned error for initial positions of "
-                    f"{bad} chains (tried {self._settings.num_try_init} points "
-                    f"per chain)"
-                )
-            from .parallel import shard_chains
-
-            states = shard_chains(states)
-            if self._kind == "mclmc":
-                runner = make_mclmc_chunk_runner(
-                    model, cfg, self._chunk_len, dtype
-                )
-            else:
-                runner = _cached_chunk_runner(
-                    model, cfg, self._chunk_len, dtype, self._n_chains,
-                    self._settings.pool_mass_matrix,
-                )
-            expand = jax.jit(jax.vmap(jax.vmap(model.expand_fn)))
-
-            start = 0
-            prev_n_steps = None
-            while start < self._total:
-                if self._abort_evt.is_set():
-                    break
-                while self._pause_evt.is_set():
-                    if self._abort_evt.is_set():
-                        break
-                    time.sleep(0.01)
-                limit = min(self._chunk_len, self._total - start)
-                states, bufs = runner(
-                    states, start, limit, make_schedule(cfg.adapt, self._num_tune)
-                )
-                expanded = expand(bufs.position)
-                chunk = self._chunk_to_host(bufs, expanded, limit)
-                with self._lock:
-                    self._chunks.append(chunk)
-                    self._draws_done = start + limit
-                    div_rows = chunk["stats"]["diverging"]
-                    for c in range(self._n_chains):
-                        idxs = np.nonzero(div_rows[c])[0] + start
-                        self._divergent_draws[c].extend(int(i) for i in idxs)
-                prev_n_steps = chunk["stats"]["n_steps"]
-                self._update_progress(states, prev_n_steps, start + limit)
-                start += limit
+            # HMC energies need accurate log densities: TPU matmuls default
+            # to bf16 truncation, which injects O(1) energy noise into large
+            # models (collapsing step sizes / spurious divergences), so all
+            # sampler tracing happens under full-precision matmuls.
+            with jax.default_matmul_precision("highest"):
+                self._run_inner()
         except BaseException as err:  # surfaced in wait()
             self._error = err
         finally:
@@ -321,6 +295,81 @@ class _BackgroundSampler:
                     h.finalize(self._progress)
                 except Exception:
                     pass
+
+    def _run_inner(self) -> None:
+        model, cfg, dtype = self._model, self._cfg, self._dtype
+        if self._kind == "mclmc":
+            from .sampler.mclmc import (
+                init_mclmc_chains,
+                make_mclmc_chunk_runner,
+            )
+
+            states, ok = init_mclmc_chains(
+                model, cfg, self._seed, self._n_chains, self._init_mean,
+                dtype, num_try_init=self._settings.num_try_init,
+            )
+        else:
+            states, ok = init_chains(
+                model, cfg, self._seed, self._n_chains, self._init_mean,
+                dtype, num_try_init=self._settings.num_try_init,
+            )
+        ok = np.asarray(ok)
+        if not ok.all():
+            bad = int((~ok).sum())
+            raise RuntimeError(
+                f"Logp function returned error for initial positions of "
+                f"{bad} chains (tried {self._settings.num_try_init} points "
+                f"per chain)"
+            )
+        from .parallel import shard_chains
+
+        states = shard_chains(states)
+        if self._kind == "mclmc":
+            runner = make_mclmc_chunk_runner(
+                model, cfg, self._chunk_len, dtype
+            )
+            runner_sampling = runner
+        else:
+            runner = _cached_chunk_runner(
+                model, cfg, self._chunk_len, dtype, self._n_chains,
+                self._settings.pool_mass_matrix, flow_train=True,
+            )
+            if getattr(cfg, "flow", None) is not None:
+                # frozen-flow variant for post-warmup chunks
+                runner_sampling = _cached_chunk_runner(
+                    model, cfg, self._chunk_len, dtype, self._n_chains,
+                    self._settings.pool_mass_matrix, flow_train=False,
+                )
+            else:
+                runner_sampling = runner
+        expand = jax.jit(jax.vmap(jax.vmap(model.expand_fn)))
+
+        start = 0
+        prev_n_steps = None
+        while start < self._total:
+            if self._abort_evt.is_set():
+                break
+            while self._pause_evt.is_set():
+                if self._abort_evt.is_set():
+                    break
+                time.sleep(0.01)
+            limit = min(self._chunk_len, self._total - start)
+            active_runner = runner if start < self._num_tune else runner_sampling
+            states, bufs = active_runner(
+                states, start, limit, make_schedule(cfg.adapt, self._num_tune)
+            )
+            expanded = expand(bufs.position)
+            chunk = self._chunk_to_host(bufs, expanded, limit)
+            with self._lock:
+                self._chunks.append(chunk)
+                self._draws_done = start + limit
+                div_rows = chunk["stats"]["diverging"]
+                for c in range(self._n_chains):
+                    idxs = np.nonzero(div_rows[c])[0] + start
+                    self._divergent_draws[c].extend(int(i) for i in idxs)
+            prev_n_steps = chunk["stats"]["n_steps"]
+            self._update_progress(states, prev_n_steps, start + limit)
+            start += limit
 
     def _chunk_to_host(self, bufs, expanded, limit: int) -> dict:
         def cut(x):

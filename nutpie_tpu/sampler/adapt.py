@@ -81,6 +81,9 @@ class AdaptConfig:
     early_phase_share: float = 0.3
     freeze_share: float = 0.1
     use_grad_based_estimate: bool = True
+    # disabled in flow mode: the flow absorbs the geometry, NUTS runs with
+    # an identity metric in base space
+    update_mass_matrix: bool = True
     # clipping for the variance estimate
     min_variance: float = 1e-12
     max_variance: float = 1e12
@@ -251,8 +254,11 @@ def diag_adapt_update(
     switch = (~frozen) & (draw_idx > 0) & ((draw_idx + 1) % freq == 0)
 
     # recompute the estimate every (unfrozen) draw from the current window
-    inv_mass = _estimate_inv_mass(cfg, draws_cur, grads_cur, adapt.inv_mass)
-    inv_mass = jnp.where(frozen, adapt.inv_mass, inv_mass)
+    if cfg.update_mass_matrix:
+        inv_mass = _estimate_inv_mass(cfg, draws_cur, grads_cur, adapt.inv_mass)
+        inv_mass = jnp.where(frozen, adapt.inv_mass, inv_mass)
+    else:
+        inv_mass = adapt.inv_mass
 
     # switch: current <- background, background <- fresh
     dim = position.shape[-1]

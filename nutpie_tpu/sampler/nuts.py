@@ -42,6 +42,7 @@ from .low_rank import (
     lr_velocity_rows,
 )
 from .state import DiagAdaptState, NutsMachineState, tree_where
+from ..transforms.flow import FlowConfig, FlowParams, init_flow_params
 
 
 @dataclasses.dataclass(frozen=True)
@@ -76,6 +77,29 @@ class LowRankAdaptState(NamedTuple):
     metric: LowRankMetric
 
 
+class FlowAdaptState(NamedTuple):
+    """Adaptation state for normalizing-flow reparameterization.
+
+    NUTS runs in the flow's base space with an identity mass matrix
+    (``inv_mass`` stays at ones; the flow absorbs all geometry).  The
+    window ring buffer collects (z, grad_z) training pairs; the flow
+    trains at chunk boundaries (see ``run.py``).
+    """
+
+    da: object
+    adam: object
+    inv_mass: jax.Array    # ones; kept for the shared metric code paths
+    draws_cur: object
+    grads_cur: object
+    draws_bg: object
+    grads_bg: object
+    win_draws: jax.Array   # [window, dim] base-space positions
+    win_grads: jax.Array   # [window, dim] base-space gradients
+    win_count: jax.Array   # i32, grows without bound (ring indexing)
+    flow: FlowParams
+    flow_updates: jax.Array  # i32: number of flow updates performed
+
+
 @dataclasses.dataclass(frozen=True)
 class NutsConfig:
     """Static kernel configuration (baked into the compiled program)."""
@@ -87,7 +111,9 @@ class NutsConfig:
     store_gradient: bool = False
     store_mass_matrix: bool = False
     store_divergences: bool = False
+    store_transformed: bool = False
     low_rank: Optional[LowRankConfig] = None
+    flow: Optional[FlowConfig] = None
     adapt: AdaptConfig = dataclasses.field(
         default_factory=lambda: AdaptConfig(num_tune=300)
     )
@@ -133,6 +159,10 @@ class ChunkBuffers(NamedTuple):
     divergence_end: Optional[jax.Array]
     divergence_momentum: Optional[jax.Array]
     divergence_start_gradient: Optional[jax.Array]
+    fisher_distance: Optional[jax.Array]        # [L] (flow mode)
+    transformed_position: Optional[jax.Array]   # [L, dim] (flow + store_transformed)
+    transformed_gradient: Optional[jax.Array]
+    transformation_mu: Optional[jax.Array]
 
 
 def init_buffers(cfg: NutsConfig, chunk_len: int, dim: int, dtype) -> ChunkBuffers:
@@ -158,6 +188,16 @@ def init_buffers(cfg: NutsConfig, chunk_len: int, dim: int, dtype) -> ChunkBuffe
         divergence_end=f(L, dim) if cfg.store_divergences else None,
         divergence_momentum=f(L, dim) if cfg.store_divergences else None,
         divergence_start_gradient=f(L, dim) if cfg.store_divergences else None,
+        fisher_distance=f(L) if cfg.flow is not None else None,
+        transformed_position=(
+            f(L, dim) if cfg.flow is not None and cfg.store_transformed else None
+        ),
+        transformed_gradient=(
+            f(L, dim) if cfg.flow is not None and cfg.store_transformed else None
+        ),
+        transformation_mu=(
+            f(L, dim) if cfg.flow is not None and cfg.store_transformed else None
+        ),
     )
 
 
@@ -257,6 +297,16 @@ def init_machine_state(
             win_count=zi,
             metric=identity_metric(dim, cfg.low_rank.max_rank, dtype),
         )
+    elif cfg.flow is not None:
+        W = cfg.flow.window
+        adapt = FlowAdaptState(
+            **{**adapt._asdict(), "inv_mass": jnp.ones((dim,), dtype)},
+            win_draws=jnp.zeros((W, dim), dtype),
+            win_grads=jnp.zeros((W, dim), dtype),
+            win_count=zi,
+            flow=init_flow_params(cfg.flow, dim, chain_key, dtype),
+            flow_updates=zi,
+        )
     return NutsMachineState(
         rng_key=chain_key,
         position=position.astype(dtype),
@@ -329,7 +379,8 @@ def machine_step(
     # in checkpoint slot D-1, which the stack never reaches: a subtree of
     # size 2^depth uses stack indices 0..depth-1 and depth <= maxdepth-1.
     edge_p_old = jnp.where(fwd, s.p_plus, s.p_minus)
-    ckpt_p = s.ckpt_p.at[D - 1].set(_w(at_start & active, edge_p_old, s.ckpt_p[D - 1]))
+    stash_idx = jnp.where(at_start & active, D - 1, D)
+    ckpt_p = s.ckpt_p.at[stash_idx].set(edge_p_old, mode="drop")
     ckpt_s = s.ckpt_s
 
     # ------------------------------------------------ leapfrog (1 gradient)
@@ -339,7 +390,7 @@ def machine_step(
     eps_s = direction.astype(dtype) * s.eps
     p_half = p_e + 0.5 * eps_s * g_e
     z_new = z_e + eps_s * metric_velocity(cfg, s.adapt, p_half)
-    logp_new, g_new = logp_and_grad(z_new)
+    logp_new, g_new = logp_and_grad(z_new, s.adapt)
     logp_new = logp_new.astype(dtype)
     g_new = g_new.astype(dtype)
     p_new = p_half + 0.5 * eps_s * g_new
@@ -381,8 +432,9 @@ def machine_step(
     odd = (n % 2) == 1
     top = s.ckpt_top
     push = active & odd
-    ckpt_p = ckpt_p.at[top].set(_w(push, p_new, ckpt_p[top]))
-    ckpt_s = ckpt_s.at[top].set(_w(push, rho_sub_pre, ckpt_s[top]))
+    push_idx = jnp.where(push, top, D)
+    ckpt_p = ckpt_p.at[push_idx].set(p_new, mode="drop")
+    ckpt_s = ckpt_s.at[push_idx].set(rho_sub_pre, mode="drop")
     top_after_push = jnp.where(push, top + 1, top)
 
     # trailing zeros of n (for even n): subtrees of sizes 2^1..2^t end here
@@ -479,11 +531,23 @@ def machine_step(
     tuning = s.draw_idx < sched.num_tune
     step_size_bar = jnp.exp(s.adapt.da.log_step_bar)
 
+    # Masked buffer writes use an out-of-bounds index with mode="drop"
+    # instead of read-modify-write: reading the buffer would force XLA to
+    # copy the whole [chunk, dim] buffer every loop iteration instead of
+    # updating it in place.
+    L_oob = mom_gauss.shape[0]
+    write_idx = jnp.where(draw_done, idx_c, L_oob)
+
     def write(buf, value):
         if buf is None:
             return None
-        return buf.at[idx_c].set(_w(draw_done, value, buf[idx_c]))
+        return buf.at[write_idx].set(value, mode="drop")
 
+    if cfg.flow is not None:
+        # in base space a perfect flow has score(z) = -z
+        fisher_dist = jnp.mean(jnp.square(prop_z + prop_g))
+    else:
+        fisher_dist = None
     bufs = ChunkBuffers(
         position=write(bufs.position, prop_z),
         logp=write(bufs.logp, prop_logp),
@@ -502,6 +566,13 @@ def machine_step(
         divergence_end=write(bufs.divergence_end, div_end),
         divergence_momentum=write(bufs.divergence_momentum, div_mom),
         divergence_start_gradient=write(bufs.divergence_start_gradient, div_start_grad),
+        fisher_distance=write(bufs.fisher_distance, fisher_dist),
+        transformed_position=write(bufs.transformed_position, prop_z),
+        transformed_gradient=write(bufs.transformed_gradient, prop_g),
+        transformation_mu=(
+            write(bufs.transformation_mu, s.adapt.flow.mu)
+            if bufs.transformation_mu is not None else None
+        ),
     )
 
     # adaptation (tuning draws only)
@@ -513,8 +584,29 @@ def machine_step(
         "da", "adam", "inv_mass", "draws_cur", "grads_cur",
         "draws_bg", "grads_bg",
     )
-    if cfg.low_rank is None:
+    if cfg.low_rank is None and cfg.flow is None:
         adapt = tree_where(draw_done & tuning, adapt_new, s.adapt)
+    elif cfg.flow is not None:
+        # flow mode: ring buffer of (z, grad_z) training pairs; flow params
+        # themselves update at chunk boundaries (run.py)
+        diag_sel = {
+            name: tree_where(
+                draw_done & tuning,
+                getattr(adapt_new, name),
+                getattr(s.adapt, name),
+            )
+            for name in _DIAG_FIELDS
+        }
+        W = cfg.flow.window
+        ok_draw = draw_done & tuning & ~diverging
+        slot = jnp.where(ok_draw, s.adapt.win_count % W, W)
+        win_draws = s.adapt.win_draws.at[slot].set(prop_z, mode="drop")
+        win_grads = s.adapt.win_grads.at[slot].set(prop_g, mode="drop")
+        win_count = jnp.where(ok_draw, s.adapt.win_count + 1, s.adapt.win_count)
+        adapt = s.adapt._replace(
+            win_draws=win_draws, win_grads=win_grads, win_count=win_count,
+            **diag_sel,
+        )
     else:
         # the diag sub-state selects on draw completion; the window buffers
         # are updated with self-masked scatter writes (O(dim), not O(W*dim))
@@ -534,14 +626,10 @@ def machine_step(
         )
         switch = (~frozen) & (s.draw_idx > 0) & ((s.draw_idx + 1) % freq == 0)
         ok_draw = draw_done & tuning & ~diverging
-        slot = jnp.clip(s.adapt.win_count, 0, W - 1)
         write = ok_draw & (s.adapt.win_count < W)
-        win_draws = s.adapt.win_draws.at[slot].set(
-            _w(write, prop_z, s.adapt.win_draws[slot])
-        )
-        win_grads = s.adapt.win_grads.at[slot].set(
-            _w(write, prop_g, s.adapt.win_grads[slot])
-        )
+        slot = jnp.where(write, s.adapt.win_count, W)
+        win_draws = s.adapt.win_draws.at[slot].set(prop_z, mode="drop")
+        win_grads = s.adapt.win_grads.at[slot].set(prop_g, mode="drop")
         win_count = jnp.where(write, s.adapt.win_count + 1, s.adapt.win_count)
         win_count = jnp.where(ok_draw & switch, 0, win_count)
         adapt = s.adapt._replace(

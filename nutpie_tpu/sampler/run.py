@@ -164,11 +164,25 @@ def init_chains(
 
 
 def make_chunk_runner(model: ModelDef, cfg: NutsConfig, chunk_len: int, dtype,
-                      pool_mass_matrix: bool = False):
-    """Build the jitted function running one chunk of draws for all chains."""
+                      pool_mass_matrix: bool = False, flow_train: bool = True):
+    """Build the jitted function running one chunk of draws for all chains.
 
-    def logp_and_grad(x):
-        return jax.value_and_grad(model.logp_fn)(x)
+    ``flow_train=False`` compiles a variant without the flow-training stage
+    (used for post-warmup chunks, where the flow is frozen).
+    """
+
+    if cfg.flow is not None:
+        from ..transforms.flow import make_flow_logp
+
+        flow_logp = make_flow_logp(cfg.flow, model.logp_fn)
+
+        def logp_and_grad(z, adapt):
+            return jax.value_and_grad(flow_logp)(z, adapt.flow)
+
+    else:
+
+        def logp_and_grad(x, adapt):
+            return jax.value_and_grad(model.logp_fn)(x)
 
     def run_chunk(states: NutsMachineState, chunk_start, limit, sched: Schedule):
         n_chains = states.done.shape[0]
@@ -204,6 +218,91 @@ def make_chunk_runner(model: ModelDef, cfg: NutsConfig, chunk_len: int, dtype,
             states = states._replace(
                 adapt=jax.vmap(update_metric)(states.adapt, states.draw_idx)
             )
+
+        if cfg.flow is not None and flow_train:
+            # train the per-chain flows on the windowed (z, grad_z) pairs,
+            # expressed in model space through the current flow; then re-base
+            # every chain's position into the new flow's base space.  All of
+            # this is vmapped over chains -- the whole fleet of flows trains
+            # in one XLA program at each chunk boundary.
+            from ..transforms.flow import (
+                flow_forward,
+                flow_inverse,
+                make_flow_logp,
+                pullback_score,
+                refit_diag,
+                train_flow,
+            )
+            from .state import tree_where as _tw
+
+            fcfg = cfg.flow
+            flow_logp_vg = jax.value_and_grad(make_flow_logp(fcfg, model.logp_fn))
+
+            def update_flow(state: NutsMachineState):
+                adapt = state.adapt
+                W = fcfg.window
+                n_valid = jnp.minimum(adapt.win_count, W)
+                valid = jnp.arange(W) < n_valid
+                due = (
+                    (state.draw_idx < sched.num_tune)
+                    & (n_valid >= jnp.minimum(32, W))
+                )
+
+                # window (z, grad_z) -> model space (x, grad_x) through the
+                # current flow: x = F(z); grad_x = J_F^{-T} grad_z... obtained
+                # by differentiating logp(x) = logp_z(F^{-1}(x)) + logdet via
+                # one vjp through the inverse transform per row.
+                def to_model_space(z, gz):
+                    x, _ = flow_forward(fcfg, adapt.flow, z)
+
+                    def inv_logdet(xx):
+                        zz = flow_inverse(fcfg, adapt.flow, xx)
+                        _, fld = flow_forward(fcfg, adapt.flow, zz)
+                        return zz, -fld
+
+                    _, vjp = jax.vjp(inv_logdet, x)
+                    (gx,) = vjp((gz, jnp.ones((), z.dtype)))
+                    return x, gx
+
+                xs, gxs = jax.vmap(to_model_space)(
+                    adapt.win_draws, adapt.win_grads
+                )
+                xs = jnp.where(valid[:, None], xs, 0.0)
+                gxs = jnp.where(valid[:, None], gxs, 0.0)
+
+                diag_phase = adapt.flow_updates < fcfg.num_diag_updates
+                new_diag = refit_diag(adapt.flow, xs, gxs, valid)
+                trained, _, improved = train_flow(fcfg, adapt.flow, xs, gxs, valid)
+                candidate = _tw(diag_phase, new_diag, trained)
+                accept = due & (diag_phase | improved)
+                new_flow = _tw(accept, candidate, adapt.flow)
+
+                # re-base the chain into the new flow's coordinates
+                x_cur, _ = flow_forward(fcfg, adapt.flow, state.position)
+                z_new = flow_inverse(fcfg, new_flow, x_cur)
+                logp_new, grad_new = jax.value_and_grad(
+                    make_flow_logp(fcfg, model.logp_fn)
+                )(z_new, new_flow)
+                rebase_ok = accept & jnp.isfinite(logp_new) & jnp.all(
+                    jnp.isfinite(grad_new)
+                ) & jnp.all(jnp.isfinite(z_new))
+                new_flow = _tw(rebase_ok, new_flow, adapt.flow)
+                position = jnp.where(rebase_ok, z_new, state.position)
+                gradient = jnp.where(rebase_ok, grad_new, state.gradient)
+                logp = jnp.where(rebase_ok, logp_new, state.logp)
+
+                adapt = adapt._replace(
+                    flow=new_flow,
+                    flow_updates=adapt.flow_updates + due.astype(jnp.int32),
+                    # training pairs from the old coordinates are stale
+                    win_count=jnp.where(rebase_ok, 0, adapt.win_count),
+                )
+                return state._replace(
+                    adapt=adapt, position=position, gradient=gradient,
+                    logp=logp,
+                )
+
+            states = jax.vmap(update_flow)(states)
 
         # per-draw randomness, keyed by absolute draw index
         draw_ids = chunk_start + jnp.arange(chunk_len, dtype=jnp.int32)
@@ -249,6 +348,37 @@ def make_chunk_runner(model: ModelDef, cfg: NutsConfig, chunk_len: int, dtype,
             return step(sched, mom_gauss, jitter_us, chunk_start, limit, st, bf)
 
         states, bufs = jax.lax.while_loop(cond, body, (states, bufs))
+
+        if cfg.flow is not None:
+            # express the chunk's draws in model space: x = F(z), model logp
+            # = logp_z - logdet, gradient pushed forward through the flow
+            from ..transforms.flow import flow_forward, flow_inverse
+
+            fcfg = cfg.flow
+
+            def convert(bufs_one, adapt_one):
+                xs, logdets = jax.vmap(
+                    lambda z: flow_forward(fcfg, adapt_one.flow, z)
+                )(bufs_one.position)
+                new = bufs_one._replace(
+                    position=xs, logp=bufs_one.logp - logdets
+                )
+                if bufs_one.gradient is not None:
+                    def push(x, gz):
+                        def inv_logdet(xx):
+                            zz = flow_inverse(fcfg, adapt_one.flow, xx)
+                            _, fld = flow_forward(fcfg, adapt_one.flow, zz)
+                            return zz, -fld
+
+                        _, vjp = jax.vjp(inv_logdet, x)
+                        (gx,) = vjp((gz, jnp.ones((), x.dtype)))
+                        return gx
+
+                    gxs = jax.vmap(push)(xs, bufs_one.gradient)
+                    new = new._replace(gradient=gxs)
+                return new
+
+            bufs = jax.vmap(convert)(bufs, states.adapt)
         return states, bufs
 
     return jax.jit(run_chunk, donate_argnums=(0,))

@@ -120,7 +120,7 @@ class LowRankAdaptOptions(EuclideanAdaptOptions):
 
 @dataclass
 class FlowAdaptOptions:
-    transform_update_freq: int = 128
+    transform_update_freq: int = 64
     use_orbit_for_training: bool = False
     step_size_settings: StepSizeSettings = field(default_factory=StepSizeSettings)
     # hyperparameters of the flow trainer; populated via with_transform_adapt

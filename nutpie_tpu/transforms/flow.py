@@ -1,0 +1,255 @@
+"""Normalizing flows for Fisher-HMC reparameterization adaptation.
+
+TPU-native re-design of the reference's flow subsystem
+(``python/nutpie/normalizing_flow.py`` + ``transform_adapter.py``): the
+sampler runs NUTS in the flow's base space z, where the pulled-back
+posterior is approximately standard normal; the flow is trained during
+warmup by minimizing the Fisher divergence
+``log E[ || z + grad_z log p_z(z) ||^2 ]`` on accumulated (draw, gradient)
+pairs (Seyboldt, Carlson & Carpenter 2026, arXiv:2603.18845).
+
+Key architectural differences from the reference:
+
+- the reference trains one flowjax/equinox flow per chain *on the host*,
+  called back from Rust between draws; here every chain's flow parameters
+  are a leaf of the device-resident adaptation state, and training runs
+  vmapped over chains in one XLA program at chunk boundaries;
+- score pullbacks use JAX autodiff (one vjp through the forward transform)
+  instead of the reference's hand-written per-bijection inverse-gradient
+  rules (``transform_adapter.py:199-301``) -- identical values, less code;
+- the architecture is a gradient-informed diagonal affine (the reference's
+  ``make_flow`` initialization, ``normalizing_flow.py:1902-1915``) followed
+  by alternating-mask affine coupling layers with tanh-bounded log-scales.
+
+Flow direction: ``x = forward(params, z)`` maps base space to the model's
+unconstrained space; NUTS positions are z.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+
+@dataclasses.dataclass(frozen=True)
+class FlowConfig:
+    """Static flow-adaptation configuration (reference hyperparameters:
+    ``make_transform_adapter``, ``transform_adapter.py:870-953``)."""
+
+    num_layers: int = 4
+    hidden: int = 32
+    learning_rate: float = 5e-4
+    train_steps: int = 200
+    window: int = 256          # ring buffer of (draw, grad) training pairs
+    num_diag_updates: int = 2  # first updates refit only the diagonal
+    scale_cap: float = 3.0     # bound on coupling log-scales
+    grad_clip: float = 10.0
+    update_freq: int = 64      # flow update cadence (chunk-aligned)
+
+
+class FlowParams(NamedTuple):
+    mu: jax.Array         # [dim]
+    log_sigma: jax.Array  # [dim]
+    w1: jax.Array         # [layers, dim, hidden]
+    b1: jax.Array         # [layers, hidden]
+    w2: jax.Array         # [layers, hidden, 2*dim]
+    b2: jax.Array         # [layers, 2*dim]
+
+
+def _masks(num_layers: int, dim: int, dtype):
+    """Alternating even/odd coordinate masks (1 = pass-through half)."""
+    base = (jnp.arange(dim) % 2).astype(dtype)
+    return jnp.stack(
+        [base if i % 2 == 0 else 1.0 - base for i in range(num_layers)]
+    )
+
+
+def init_flow_params(cfg: FlowConfig, dim: int, key, dtype) -> FlowParams:
+    k1 = jax.random.fold_in(key, 0)
+    w1 = 0.01 * jax.random.normal(
+        k1, (cfg.num_layers, dim, cfg.hidden), dtype
+    )
+    return FlowParams(
+        mu=jnp.zeros((dim,), dtype),
+        log_sigma=jnp.zeros((dim,), dtype),
+        w1=w1,
+        b1=jnp.zeros((cfg.num_layers, cfg.hidden), dtype),
+        # zero output layer -> the couplings start as exact identities
+        w2=jnp.zeros((cfg.num_layers, cfg.hidden, 2 * dim), dtype),
+        b2=jnp.zeros((cfg.num_layers, 2 * dim), dtype),
+    )
+
+
+def _coupling_nets(cfg: FlowConfig, params: FlowParams, layer: int,
+                   masked: jax.Array):
+    h = jnp.tanh(masked @ params.w1[layer] + params.b1[layer])
+    out = h @ params.w2[layer] + params.b2[layer]
+    dim = params.mu.shape[0]
+    shift = out[..., :dim]
+    log_scale = cfg.scale_cap * jnp.tanh(out[..., dim:] / cfg.scale_cap)
+    return shift, log_scale
+
+
+def flow_forward(cfg: FlowConfig, params: FlowParams, z: jax.Array):
+    """z (base) -> (x, logdet)."""
+    dim = params.mu.shape[0]
+    masks = _masks(cfg.num_layers, dim, z.dtype)
+    y = z
+    logdet = jnp.zeros((), z.dtype)
+    for i in range(cfg.num_layers):
+        m = masks[i]
+        shift, log_scale = _coupling_nets(cfg, params, i, y * m)
+        free = 1.0 - m
+        y = m * y + free * (y * jnp.exp(log_scale) + shift)
+        logdet = logdet + jnp.sum(free * log_scale)
+    x = params.mu + jnp.exp(params.log_sigma) * y
+    logdet = logdet + jnp.sum(params.log_sigma)
+    return x, logdet
+
+
+def flow_inverse(cfg: FlowConfig, params: FlowParams, x: jax.Array):
+    """x (model space) -> z (base)."""
+    dim = params.mu.shape[0]
+    masks = _masks(cfg.num_layers, dim, x.dtype)
+    y = (x - params.mu) * jnp.exp(-params.log_sigma)
+    for i in reversed(range(cfg.num_layers)):
+        m = masks[i]
+        shift, log_scale = _coupling_nets(cfg, params, i, y * m)
+        free = 1.0 - m
+        y = m * y + free * ((y - shift) * jnp.exp(-log_scale))
+    return y
+
+
+def make_flow_logp(cfg: FlowConfig, logp_fn):
+    """The pulled-back log density: logp_z(z) = logp(F(z)) + logdet."""
+
+    def flow_logp(z, params: FlowParams):
+        x, logdet = flow_forward(cfg, params, z)
+        return logp_fn(x) + logdet
+
+    return flow_logp
+
+
+def pullback_score(cfg: FlowConfig, params: FlowParams, x: jax.Array,
+                   g: jax.Array):
+    """(x, grad_x logp) -> (z, grad_z logp_z) without re-evaluating logp.
+
+    grad_z [logp(F(z)) + logdet(z)] = J_F^T g + grad_z logdet, obtained from
+    one vjp through the forward transform (exact; replaces the reference's
+    bijection-dispatched ``inverse_gradient_and_val``).
+    """
+    z = flow_inverse(cfg, params, x)
+    _, vjp = jax.vjp(lambda zz: flow_forward(cfg, params, zz), z)
+    (score,) = vjp((g, jnp.ones((), x.dtype)))
+    return z, score
+
+
+def fisher_distance(z: jax.Array, score_z: jax.Array) -> jax.Array:
+    """Per-draw Fisher distance: mean((z + grad_z logp_z)^2).
+
+    For a perfectly trained flow the pullback is standard normal, whose
+    score is -z, making this zero (acceptance gate in the reference:
+    mean < 0.1, ``tests/test_pymc.py:495``).
+    """
+    return jnp.mean(jnp.square(z + score_z))
+
+
+def _fisher_loss(cfg: FlowConfig, params: FlowParams, xs, gs, valid):
+    """log E[ sum_coords (z + score)^2 ] over the valid window rows."""
+    z, score = jax.vmap(lambda x, g: pullback_score(cfg, params, x, g))(xs, gs)
+    per_draw = jnp.sum(jnp.square(z + score), axis=-1)
+    per_draw = jnp.where(valid, per_draw, 0.0)
+    n = jnp.maximum(jnp.sum(valid), 1)
+    mean = jnp.sum(per_draw) / n
+    return jnp.log(jnp.maximum(mean, 1e-30))
+
+
+def refit_diag(params: FlowParams, xs, gs, valid) -> FlowParams:
+    """Gradient-informed diagonal refit (reference ``make_flow``:
+    sigma = sqrt(std(draws)/std(grads)),
+    mu = mean(draws) + mean(grads) * sigma^2;
+    ``normalizing_flow.py:1902-1915``)."""
+    v = valid[:, None]
+    n = jnp.maximum(jnp.sum(valid), 2.0)
+    mean_x = jnp.sum(xs * v, 0) / n
+    mean_g = jnp.sum(gs * v, 0) / n
+    var_x = jnp.sum(jnp.square(xs - mean_x) * v, 0) / (n - 1)
+    var_g = jnp.sum(jnp.square(gs - mean_g) * v, 0) / (n - 1)
+    sigma = jnp.sqrt(jnp.sqrt(
+        jnp.maximum(var_x, 1e-12) / jnp.maximum(var_g, 1e-12)
+    ))
+    sigma2 = jnp.square(sigma)
+    mu = mean_x + mean_g * sigma2
+    ok = jnp.all(jnp.isfinite(sigma)) & jnp.all(jnp.isfinite(mu))
+    mu = jnp.where(ok, mu, params.mu)
+    log_sigma = jnp.where(ok, jnp.log(sigma), params.log_sigma)
+    return params._replace(mu=mu, log_sigma=log_sigma)
+
+
+class FlowOptState(NamedTuple):
+    m: FlowParams
+    v: FlowParams
+    count: jax.Array
+
+
+def train_flow(cfg: FlowConfig, params: FlowParams, xs, gs, valid):
+    """Full-batch Adam on the Fisher loss with best-params tracking.
+
+    Returns ``(best_params, best_loss, improved)``.  Updates that fail to
+    improve on the starting loss, or that produce nonfinite losses, leave
+    the flow unchanged (reference failure-degradation protocol,
+    ``transform_adapter.py:753-786``).
+    """
+    loss_fn = lambda p: _fisher_loss(cfg, p, xs, gs, valid)
+    loss0 = loss_fn(params)
+
+    zeros = jax.tree_util.tree_map(jnp.zeros_like, params)
+    opt0 = FlowOptState(m=zeros, v=zeros, count=jnp.zeros((), xs.dtype))
+    b1, b2, lr = 0.9, 0.999, cfg.learning_rate
+
+    def step(carry, _):
+        p, opt, best_p, best_l = carry
+        loss, grads = jax.value_and_grad(loss_fn)(p)
+        gnorm = jnp.sqrt(sum(
+            jnp.sum(jnp.square(g)) for g in jax.tree_util.tree_leaves(grads)
+        ))
+        clip = jnp.minimum(1.0, cfg.grad_clip / jnp.maximum(gnorm, 1e-12))
+        grads = jax.tree_util.tree_map(lambda g: g * clip, grads)
+        count = opt.count + 1
+        m = jax.tree_util.tree_map(
+            lambda a, g: b1 * a + (1 - b1) * g, opt.m, grads
+        )
+        v = jax.tree_util.tree_map(
+            lambda a, g: b2 * a + (1 - b2) * g * g, opt.v, grads
+        )
+        mh = jax.tree_util.tree_map(lambda a: a / (1 - b1**count), m)
+        vh = jax.tree_util.tree_map(lambda a: a / (1 - b2**count), v)
+        p_new = jax.tree_util.tree_map(
+            lambda pp, a, bb: pp - lr * a / (jnp.sqrt(bb) + 1e-8), p, mh, vh
+        )
+        finite = jnp.isfinite(loss)
+        p_new = jax.tree_util.tree_map(
+            lambda a, b_: jnp.where(finite, a, b_), p_new, p
+        )
+        better = finite & (loss < best_l)
+        best_p = jax.tree_util.tree_map(
+            lambda a, b_: jnp.where(better, a, b_), p, best_p
+        )
+        best_l = jnp.where(better, loss, best_l)
+        return (p_new, FlowOptState(m, v, count), best_p, best_l), loss
+
+    (p_fin, _, best_p, best_l), _ = jax.lax.scan(
+        step, (params, opt0, params, loss0), None, length=cfg.train_steps
+    )
+    # final candidate may be the best
+    l_fin = loss_fn(p_fin)
+    better = jnp.isfinite(l_fin) & (l_fin < best_l)
+    best_p = jax.tree_util.tree_map(
+        lambda a, b_: jnp.where(better, a, b_), p_fin, best_p
+    )
+    best_l = jnp.where(better, l_fin, best_l)
+    improved = best_l < loss0
+    return best_p, best_l, improved

@@ -1,0 +1,144 @@
+"""Normalizing-flow (Fisher HMC) adaptation tests (marker: flow)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+import nutpie_tpu
+from nutpie_tpu import diagnostics
+from nutpie_tpu.frontends.pyfunc import compile_model_def
+from nutpie_tpu.models import funnel, std_normal
+from nutpie_tpu.transforms.flow import (
+    FlowConfig,
+    flow_forward,
+    flow_inverse,
+    init_flow_params,
+    pullback_score,
+    refit_diag,
+    train_flow,
+)
+
+pytestmark = pytest.mark.flow
+
+
+def test_flow_inverse_roundtrip():
+    cfg = FlowConfig(num_layers=3, hidden=8)
+    key = jax.random.key(0)
+    params = init_flow_params(cfg, 5, key, jnp.float64)
+    # perturb so the flow is non-trivial
+    params = params._replace(
+        mu=jnp.arange(5.0),
+        log_sigma=0.3 * jnp.ones(5),
+        w2=0.1 * jax.random.normal(key, params.w2.shape, jnp.float64),
+        b2=0.05 * jax.random.normal(key, params.b2.shape, jnp.float64),
+    )
+    z = jax.random.normal(jax.random.key(1), (5,), jnp.float64)
+    x, logdet = flow_forward(cfg, params, z)
+    z_back = flow_inverse(cfg, params, x)
+    np.testing.assert_allclose(np.asarray(z_back), np.asarray(z), atol=1e-10)
+    # logdet vs autodiff jacobian
+    J = jax.jacfwd(lambda zz: flow_forward(cfg, params, zz)[0])(z)
+    np.testing.assert_allclose(
+        float(logdet), float(jnp.linalg.slogdet(J)[1]), rtol=1e-8
+    )
+
+
+def test_pullback_score_matches_autodiff():
+    cfg = FlowConfig(num_layers=2, hidden=8)
+    key = jax.random.key(2)
+    params = init_flow_params(cfg, 4, key, jnp.float64)
+    params = params._replace(
+        w2=0.2 * jax.random.normal(key, params.w2.shape, jnp.float64)
+    )
+
+    def logp(x):  # some smooth density
+        return -0.5 * jnp.sum(x**2) - 0.1 * jnp.sum(x**4)
+
+    x = jnp.array([0.3, -1.2, 0.7, 0.1])
+    g = jax.grad(logp)(x)
+    z, score = pullback_score(cfg, params, x, g)
+    # direct: grad_z [logp(F(z)) + logdet]
+    def logp_z(zz):
+        xx, ld = flow_forward(cfg, params, zz)
+        return logp(xx) + ld
+
+    np.testing.assert_allclose(np.asarray(z),
+                               np.asarray(flow_inverse(cfg, params, x)))
+    np.testing.assert_allclose(
+        np.asarray(score), np.asarray(jax.grad(logp_z)(z)), rtol=1e-8
+    )
+
+
+def test_refit_diag_gaussian():
+    rng = np.random.default_rng(0)
+    sigma_true = np.array([0.1, 1.0, 10.0])
+    xs = rng.standard_normal((400, 3)) * sigma_true + np.array([1.0, -2.0, 3.0])
+    gs = -(xs - np.array([1.0, -2.0, 3.0])) / sigma_true**2
+    cfg = FlowConfig(num_layers=1, hidden=4)
+    params = init_flow_params(cfg, 3, jax.random.key(0), jnp.float64)
+    valid = jnp.ones(400, bool)
+    new = refit_diag(params, jnp.asarray(xs), jnp.asarray(gs), valid)
+    np.testing.assert_allclose(
+        np.exp(np.asarray(new.log_sigma)), sigma_true, rtol=0.2
+    )
+    diff = np.abs(np.asarray(new.mu) - np.array([1.0, -2.0, 3.0]))
+    assert np.all(diff < 0.5 * sigma_true), diff
+
+
+def test_train_flow_improves_loss():
+    rng = np.random.default_rng(1)
+    # correlated Gaussian the diagonal cannot capture
+    cov = np.array([[1.0, 0.95], [0.95, 1.0]])
+    chol = np.linalg.cholesky(cov)
+    prec = np.linalg.inv(cov)
+    xs = (chol @ rng.standard_normal((2, 256))).T
+    gs = -(xs @ prec)
+    cfg = FlowConfig(num_layers=4, hidden=16, train_steps=150,
+                     learning_rate=5e-3)
+    params = init_flow_params(cfg, 2, jax.random.key(3), jnp.float64)
+    valid = jnp.ones(256, bool)
+    new, loss, improved = train_flow(
+        cfg, params, jnp.asarray(xs), jnp.asarray(gs), valid
+    )
+    assert bool(improved)
+
+
+def test_flow_sampling_funnel():
+    """The nf-adapt acceptance model: Neal's funnel (docs/nf-adapt.qmd)."""
+    model = compile_model_def(funnel(dim=5)).with_transform_adapt(
+        num_layers=4, hidden=16, train_steps=150, window=192,
+        learning_rate=2e-3,
+    )
+    trace = nutpie_tpu.sample(
+        model, chains=4, draws=500, tune=600, seed=12, progress_bar=False,
+        adaptation="flow",
+    )
+    v = np.asarray(trace.posterior["v"].values)
+    stats = trace.sample_stats
+    assert "fisher_distance" in stats
+    fd = np.asarray(stats["fisher_distance"].values)
+    # the funnel's v ~ N(0, 3^2): without flow the sampler cannot reach the
+    # neck and badly underestimates the variance
+    assert abs(v.std() - 3.0) < 0.75, v.std()
+    assert abs(v.mean()) < 0.6
+    assert diagnostics.ess(v) > 50
+    # trained flow should make the base space fairly gaussian
+    assert np.nanmean(fd[:, -100:]) < 2.0
+
+
+def test_flow_transformed_stats():
+    model = compile_model_def(std_normal(3)).with_transform_adapt(
+        num_layers=2, hidden=8, train_steps=50, window=64,
+    )
+    trace = nutpie_tpu.sample(
+        model, chains=2, draws=100, tune=200, seed=5, progress_bar=False,
+        adaptation="flow", store_transformed=True,
+    )
+    stats = trace.sample_stats
+    for name in ("transformed_position", "transformed_gradient",
+                 "transformation_mu"):
+        assert name in stats, name
+    x = np.asarray(trace.posterior["x"].values)
+    assert abs(x.mean()) < 0.25
+    assert abs(x.std() - 1.0) < 0.25

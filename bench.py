@@ -23,9 +23,9 @@ import numpy as np
 BASELINE_ESS_PER_S = 2000.0
 
 # bench configuration: scale chains to fill the chip
-CHAINS = 1024
+CHAINS = 2048
 TUNE = 400
-DRAWS = 400
+DRAWS = 600
 
 
 def main() -> None:

@@ -153,6 +153,27 @@ def _cached_chunk_runner(model: ModelDef, cfg: NutsConfig, chunk_len: int,
     return runner
 
 
+_INIT_CACHE: dict = {}
+
+
+def _cached_init_fn(model: ModelDef, cfg, dtype, num_try_init: int):
+    import weakref
+
+    from .sampler.run import make_init_fn
+
+    key = (id(model), cfg, jnp.dtype(dtype).name, num_try_init)
+    hit = _INIT_CACHE.get(key)
+    if hit is not None:
+        ref, fn = hit
+        if ref() is model:
+            return fn
+    fn = make_init_fn(model, cfg, dtype, num_try_init)
+    if len(_INIT_CACHE) > 64:
+        _INIT_CACHE.clear()
+    _INIT_CACHE[key] = (weakref.ref(model), fn)
+    return fn
+
+
 def _mclmc_config_from_settings(settings: MclmcSettings) -> "MclmcConfig":
     from .sampler.mclmc import MclmcConfig
 
@@ -312,6 +333,9 @@ class _BackgroundSampler:
             states, ok = init_chains(
                 model, cfg, self._seed, self._n_chains, self._init_mean,
                 dtype, num_try_init=self._settings.num_try_init,
+                init_fn=_cached_init_fn(
+                    model, cfg, dtype, self._settings.num_try_init
+                ),
             )
         ok = np.asarray(ok)
         if not ok.all():

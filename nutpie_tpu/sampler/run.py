@@ -106,30 +106,16 @@ def find_initial_step(cfg: NutsConfig, logp_and_grad, state, max_iters: int = 32
     return state._replace(adapt=adapt._replace(da=da))
 
 
-def init_chains(
+def make_init_fn(
     model: ModelDef,
     cfg: NutsConfig,
-    seed: int,
-    n_chains: int,
-    init_mean,
     dtype,
     num_try_init: int = 100,
     step_search: bool = True,
 ):
-    """Initialize all chains; retry until logp and gradient are finite.
+    """Build the jitted chain-initialization function (cacheable)."""
 
-    Mirrors the reference's init protocol (seeded jittered init point,
-    retried up to ``num_try_init`` times; ``src/pyfunc.rs:535-568``), plus
-    an initial step-size search the reference lacks.
-    Returns the batched machine state and a per-chain success flag.
-    """
-    master = jax.random.key(seed)
-    chain_keys = jax.vmap(lambda i: jax.random.fold_in(master, i))(
-        jnp.arange(n_chains)
-    )
-    init_mean = jnp.asarray(init_mean, dtype)
-
-    def one_chain(chain_key):
+    def one_chain(chain_key, init_mean):
         init_base = jax.random.fold_in(chain_key, 0)
 
         def try_init(t):
@@ -160,7 +146,35 @@ def init_chains(
             )
         return state, ok
 
-    return jax.jit(jax.vmap(one_chain))(chain_keys)
+    return jax.jit(jax.vmap(one_chain, in_axes=(0, None)))
+
+
+def init_chains(
+    model: ModelDef,
+    cfg: NutsConfig,
+    seed: int,
+    n_chains: int,
+    init_mean,
+    dtype,
+    num_try_init: int = 100,
+    step_search: bool = True,
+    init_fn=None,
+):
+    """Initialize all chains; retry until logp and gradient are finite.
+
+    Mirrors the reference's init protocol (seeded jittered init point,
+    retried up to ``num_try_init`` times; ``src/pyfunc.rs:535-568``), plus
+    an initial step-size search the reference lacks.
+    Returns the batched machine state and a per-chain success flag.
+    Pass a cached ``init_fn`` (from :func:`make_init_fn`) to skip re-jitting.
+    """
+    if init_fn is None:
+        init_fn = make_init_fn(model, cfg, dtype, num_try_init, step_search)
+    master = jax.random.key(seed)
+    chain_keys = jax.vmap(lambda i: jax.random.fold_in(master, i))(
+        jnp.arange(n_chains)
+    )
+    return init_fn(chain_keys, jnp.asarray(init_mean, dtype))
 
 
 def make_chunk_runner(model: ModelDef, cfg: NutsConfig, chunk_len: int, dtype,

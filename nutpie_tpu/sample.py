@@ -368,6 +368,32 @@ class _BackgroundSampler:
                 runner_sampling = runner
         expand = jax.jit(jax.vmap(jax.vmap(model.expand_fn)))
 
+        sink = None
+        if self._zarr_store is not None:
+            from .storage.sink import ZarrTraceSink
+
+            sink = ZarrTraceSink(
+                self._zarr_store,
+                n_chains=self._n_chains,
+                num_tune=self._num_tune,
+                num_draws=self._num_draws,
+                save_warmup=self._save_warmup,
+                chunk_draws=min(16, self._chunk_len),
+                attrs={
+                    "inference_library": "nutpie_tpu",
+                    "inference_library_version": _version,
+                    "inference_library_settings": self._settings.as_json(),
+                },
+            )
+            sink_dims = {
+                v.name: tuple(v.dims or ())
+                for v in model.expanded_variables
+            }
+            sink_coords = dict(model.coords)
+            sink_coords["unconstrained_parameter"] = np.asarray(
+                model.unconstrained_labels, dtype=object
+            )
+
         start = 0
         prev_n_steps = None
         while start < self._total:
@@ -391,9 +417,13 @@ class _BackgroundSampler:
                 for c in range(self._n_chains):
                     idxs = np.nonzero(div_rows[c])[0] + start
                     self._divergent_draws[c].extend(int(i) for i in idxs)
+            if sink is not None:
+                sink.append_chunk(chunk, start, sink_dims, sink_coords)
             prev_n_steps = chunk["stats"]["n_steps"]
             self._update_progress(states, prev_n_steps, start + limit)
             start += limit
+        if sink is not None:
+            sink.finalize(start)
 
     def _chunk_to_host(self, bufs, expanded, limit: int) -> dict:
         def cut(x):
@@ -530,13 +560,16 @@ class _BackgroundSampler:
         self._pause_evt.clear()
 
     def abort(self):
-        """Abort sampling and return the partial trace."""
+        """Abort sampling and return the partial trace (None if no draws)."""
         self._abort_evt.set()
         self._pause_evt.clear()
         self._thread.join()
         if self._error is not None:
             raise self._error
-        return self._extract(self._collect())
+        raw = self._collect()
+        if raw is None:
+            return None
+        return self._extract(raw)
 
     def cancel(self):
         """Abort sampling and discard all draws."""

@@ -1,0 +1,74 @@
+"""Streaming Zarr storage tests (reference: tests/test_pymc.py:555-605)."""
+
+import json
+import zlib
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+import nutpie_tpu
+from nutpie_tpu.frontends.pyfunc import compile_model_def
+from nutpie_tpu.models import eight_schools, std_normal
+from nutpie_tpu.storage.zarr_writer import read_zarr_array
+from nutpie_tpu.zarr_store import LocalStore
+
+
+def test_native_writer_roundtrip(tmp_path):
+    pytest.importorskip("ctypes")
+    from nutpie_tpu.storage.native import NativeWriter
+
+    w = NativeWriter(2)
+    data = np.arange(1000, dtype=np.float64).tobytes()
+    path = tmp_path / "chunk.bin"
+    w.submit(str(path), data, 1)
+    w.flush()
+    assert w.errors == 0
+    out = zlib.decompress(path.read_bytes())
+    assert out == data
+    w.close()
+
+
+def test_zarr_streaming_roundtrip(tmp_path):
+    model = compile_model_def(eight_schools())
+    store = LocalStore(str(tmp_path / "trace.zarr"))
+    trace = nutpie_tpu.sample(
+        model, chains=2, draws=120, tune=80, seed=7, progress_bar=False,
+        zarr_store=store, chunk_size=25,
+    )
+    root = Path(store.path)
+    assert (root / ".zmetadata").exists()
+    meta = json.loads((root / ".zmetadata").read_text())
+    assert "posterior/mu/.zarray" in meta["metadata"]
+
+    # compare on-disk draws to the in-memory trace
+    disk_mu = read_zarr_array(root, "posterior/mu")
+    np.testing.assert_allclose(
+        disk_mu, np.asarray(trace.posterior["mu"].values)
+    )
+    disk_theta = read_zarr_array(root, "posterior/theta")
+    assert disk_theta.shape == (2, 120, 8)
+    np.testing.assert_allclose(
+        disk_theta, np.asarray(trace.posterior["theta"].values)
+    )
+    warm = read_zarr_array(root, "warmup_posterior/mu")
+    assert warm.shape == (2, 80)
+    stats = read_zarr_array(root, "sample_stats/diverging")
+    assert stats.dtype == np.bool_
+    # xarray metadata present
+    zattrs = json.loads((root / "posterior/theta/.zattrs").read_text())
+    assert zattrs["_ARRAY_DIMENSIONS"] == ["chain", "draw", "school"]
+    sattrs = json.loads((root / "sample_stats/.zattrs").read_text())
+    assert sattrs["inference_library"] == "nutpie_tpu"
+
+
+def test_zarr_openable_by_zarr_python(tmp_path):
+    zarr = pytest.importorskip("zarr")
+    model = compile_model_def(std_normal(2))
+    store = LocalStore(str(tmp_path / "t.zarr"))
+    nutpie_tpu.sample(
+        model, chains=2, draws=40, tune=40, seed=1, progress_bar=False,
+        zarr_store=store,
+    )
+    g = zarr.open_group(store.path, mode="r")
+    assert g["posterior/x"].shape == (2, 40, 2)

@@ -231,7 +231,14 @@ class _BackgroundSampler:
         progress_rate: int = 100,
         store=None,
         store_unconstrained: bool = False,
+        checkpoint=None,
+        checkpoint_every: int = 1,
+        resume_from=None,
     ):
+        self._checkpoint_path = checkpoint
+        self._checkpoint_every = max(1, int(checkpoint_every))
+        self._resume_from = resume_from
+        self._resume_offset = 0
         self._kind = "mclmc" if isinstance(settings, MclmcSettings) else "nuts"
         self._compiled_model = compiled_model
         self._settings = settings
@@ -370,6 +377,11 @@ class _BackgroundSampler:
 
         sink = None
         if self._zarr_store is not None:
+            if self._resume_from is not None:
+                raise NotImplementedError(
+                    "resume_from cannot yet be combined with zarr_store "
+                    "(the store would need offset-aligned appends)"
+                )
             from .storage.sink import ZarrTraceSink
 
             sink = ZarrTraceSink(
@@ -395,6 +407,20 @@ class _BackgroundSampler:
             )
 
         start = 0
+        ckpt_meta = {"seed": self._seed, "settings": self._settings.as_dict()}
+        if self._resume_from is not None:
+            from .checkpoint import load_state
+
+            states, start, meta = load_state(self._resume_from, states)
+            self._resume_offset = start
+            if meta.get("seed") != self._seed:
+                import warnings
+
+                warnings.warn(
+                    "resuming a run that was started with a different seed",
+                    stacklevel=2,
+                )
+        chunk_idx = 0
         prev_n_steps = None
         while start < self._total:
             if self._abort_evt.is_set():
@@ -422,6 +448,14 @@ class _BackgroundSampler:
             prev_n_steps = chunk["stats"]["n_steps"]
             self._update_progress(states, prev_n_steps, start + limit)
             start += limit
+            chunk_idx += 1
+            if (
+                self._checkpoint_path is not None
+                and chunk_idx % self._checkpoint_every == 0
+            ):
+                from .checkpoint import save_state
+
+                save_state(self._checkpoint_path, states, start, ckpt_meta)
         if sink is not None:
             sink.finalize(start)
 
@@ -527,7 +561,7 @@ class _BackgroundSampler:
             expanded=raw["expanded"],
             stats=raw["stats"],
             unconstrained=unconstrained,
-            num_tune=self._num_tune,
+            num_tune=max(0, self._num_tune - self._resume_offset),
             save_warmup=self._save_warmup,
             dims_map=dims_map,
             coords=coords,
@@ -614,6 +648,9 @@ def sample(
     progress_rate: int = 100,
     zarr_store: Any = None,
     store_unconstrained: bool = False,
+    checkpoint: Any = None,
+    checkpoint_every: int = 1,
+    resume_from: Any = None,
     **kwargs,
 ):
     """Sample the posterior distribution for a compiled model.
@@ -621,8 +658,11 @@ def sample(
     Signature and semantics mirror the reference's ``nutpie.sample``
     (``python/nutpie/sample.py:823-977``); see that docstring for parameter
     details.  Differences on TPU: ``cores`` is ignored (chains run batched
-    on the device mesh) and extra keyword settings include ``precision``,
-    ``chunk_size`` and ``pool_mass_matrix``.
+    on the device mesh); extra keyword settings include ``precision``,
+    ``chunk_size`` and ``pool_mass_matrix``; and ``checkpoint``/
+    ``checkpoint_every``/``resume_from`` provide durable checkpoint-restart
+    of a run (chain + adaptation + RNG state snapshots, a capability the
+    reference lacks).
     """
     settings = _make_settings(sampler, adaptation, seed)
     updates = dict(kwargs)
@@ -650,6 +690,9 @@ def sample(
         progress_rate=progress_rate,
         store=zarr_store,
         store_unconstrained=store_unconstrained,
+        checkpoint=checkpoint,
+        checkpoint_every=checkpoint_every,
+        resume_from=resume_from,
     )
     if not blocking:
         return background

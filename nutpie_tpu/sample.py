@@ -422,42 +422,88 @@ class _BackgroundSampler:
                 )
         chunk_idx = 0
         prev_n_steps = None
-        while start < self._total:
-            if self._abort_evt.is_set():
-                break
-            while self._pause_evt.is_set():
-                if self._abort_evt.is_set():
-                    break
-                time.sleep(0.01)
-            limit = min(self._chunk_len, self._total - start)
-            active_runner = runner if start < self._num_tune else runner_sampling
-            states, bufs = active_runner(
-                states, start, limit, make_schedule(cfg.adapt, self._num_tune)
-            )
-            expanded = expand(bufs.position)
-            chunk = self._chunk_to_host(bufs, expanded, limit)
-            with self._lock:
-                self._chunks.append(chunk)
-                self._draws_done = start + limit
-                div_rows = chunk["stats"]["diverging"]
-                for c in range(self._n_chains):
-                    idxs = np.nonzero(div_rows[c])[0] + start
-                    self._divergent_draws[c].extend(int(i) for i in idxs)
-            if sink is not None:
-                sink.append_chunk(chunk, start, sink_dims, sink_coords)
-            prev_n_steps = chunk["stats"]["n_steps"]
-            self._update_progress(states, prev_n_steps, start + limit)
-            start += limit
-            chunk_idx += 1
-            if (
-                self._checkpoint_path is not None
-                and chunk_idx % self._checkpoint_every == 0
-            ):
-                from .checkpoint import save_state
 
-                save_state(self._checkpoint_path, states, start, ckpt_meta)
+        def _progress_snapshot(st):
+            # small device copies that survive donation of the full state
+            import types
+
+            snap = types.SimpleNamespace(
+                draw_idx=jnp.array(st.draw_idx, copy=True),
+                divergence_count=jnp.array(st.divergence_count, copy=True),
+                total_steps=jnp.array(st.total_steps, copy=True),
+            )
+            if hasattr(st, "eps"):
+                snap.eps = jnp.array(st.eps, copy=True)
+            else:
+                snap.log_eps = jnp.array(st.log_eps, copy=True)
+            return snap
+
+        # double-buffered loop: the device computes chunk k+1 while the host
+        # converts/stores chunk k (device->host transfer overlaps sampling)
+        pending = None  # (bufs, start, limit, progress_snapshot)
+        while (
+            start < self._total and not self._abort_evt.is_set()
+        ) or pending is not None:
+            launched = None
+            if start < self._total and not self._abort_evt.is_set():
+                while self._pause_evt.is_set():
+                    if self._abort_evt.is_set():
+                        break
+                    time.sleep(0.01)
+                if not self._abort_evt.is_set():
+                    if (
+                        self._checkpoint_path is not None
+                        and chunk_idx > 0
+                        and chunk_idx % self._checkpoint_every == 0
+                    ):
+                        # states corresponds exactly to `start` draws and is
+                        # about to be donated to the next chunk: save now
+                        from .checkpoint import save_state
+
+                        save_state(
+                            self._checkpoint_path, states, start, ckpt_meta
+                        )
+                    limit = min(self._chunk_len, self._total - start)
+                    active_runner = (
+                        runner if start < self._num_tune else runner_sampling
+                    )
+                    states, bufs = active_runner(
+                        states, start, limit,
+                        make_schedule(cfg.adapt, self._num_tune),
+                    )
+                    snap = _progress_snapshot(states)
+                    jax.tree_util.tree_map(
+                        lambda a: a.copy_to_host_async()
+                        if hasattr(a, "copy_to_host_async") else None,
+                        bufs,
+                    )
+                    launched = (bufs, start, limit, snap)
+                    start += limit
+                    chunk_idx += 1
+            if pending is not None:
+                p_bufs, p_start, p_limit, p_snap = pending
+                expanded = expand(p_bufs.position)
+                chunk = self._chunk_to_host(p_bufs, expanded, p_limit)
+                with self._lock:
+                    self._chunks.append(chunk)
+                    self._draws_done = p_start + p_limit
+                    div_rows = chunk["stats"]["diverging"]
+                    for c in range(self._n_chains):
+                        idxs = np.nonzero(div_rows[c])[0] + p_start
+                        self._divergent_draws[c].extend(int(i) for i in idxs)
+                if sink is not None:
+                    sink.append_chunk(chunk, p_start, sink_dims, sink_coords)
+                prev_n_steps = chunk["stats"]["n_steps"]
+                self._update_progress(p_snap, prev_n_steps, p_start + p_limit)
+            pending = launched
+        if self._checkpoint_path is not None and self._draws_done > 0:
+            from .checkpoint import save_state
+
+            save_state(
+                self._checkpoint_path, states, self._draws_done, ckpt_meta
+            )
         if sink is not None:
-            sink.finalize(start)
+            sink.finalize(self._draws_done)
 
     def _chunk_to_host(self, bufs, expanded, limit: int) -> dict:
         def cut(x):
@@ -467,7 +513,10 @@ class _BackgroundSampler:
         for name, value in bufs._asdict().items():
             if value is None or name == "position":
                 continue
-            stats[name] = cut(value)
+            arr = cut(value)
+            if name in ("diverging", "maxdepth_reached"):
+                arr = arr.astype(bool)
+            stats[name] = arr
         if "mass_matrix_inv" in stats:
             stats["mass_matrix_stds"] = np.sqrt(stats["mass_matrix_inv"])
         if self._store_unconstrained:

@@ -42,6 +42,7 @@ from .low_rank import (
     lr_velocity_rows,
 )
 from .state import DiagAdaptState, NutsMachineState, tree_where
+from ..ops.row_write import masked_row_write
 from ..transforms.flow import FlowConfig, FlowParams, init_flow_params
 
 
@@ -140,7 +141,11 @@ def metric_momentum(cfg: NutsConfig, adapt, gauss: jax.Array) -> jax.Array:
 
 
 class ChunkBuffers(NamedTuple):
-    """Per-chain output buffers for one chunk of draws ([chunk_len, ...])."""
+    """Per-chain output buffers for one chunk of draws ([chunk_len, ...]).
+
+    Writes go through :func:`nutpie_tpu.ops.row_write.masked_row_write`
+    (backend-aware: select on TPU, scatter elsewhere).
+    """
 
     position: jax.Array             # [L, dim] unconstrained draws
     logp: jax.Array                 # [L]
@@ -165,10 +170,19 @@ class ChunkBuffers(NamedTuple):
     transformation_mu: Optional[jax.Array]
 
 
-def init_buffers(cfg: NutsConfig, chunk_len: int, dim: int, dtype) -> ChunkBuffers:
-    f = lambda *shape: jnp.full(shape, jnp.nan, dtype)
-    i = lambda *shape: jnp.zeros(shape, jnp.int32)
-    b = lambda *shape: jnp.zeros(shape, bool)
+def init_buffers(cfg: NutsConfig, chunk_len: int, dim: int, dtype,
+                 n_chains: int | None = None) -> ChunkBuffers:
+    """Allocate output buffers.
+
+    Pass ``n_chains`` to build the batched buffers directly: materialized
+    [chains, chunk, ...] allocations (building them as vmapped/broadcasted
+    constants leaves them as lazy broadcasts that the in-loop scatter
+    updates interact badly with on some backends).
+    """
+    lead = () if n_chains is None else (n_chains,)
+    f = lambda *shape: jnp.full(lead + shape, jnp.nan, dtype)
+    i = lambda *shape: jnp.zeros(lead + shape, jnp.int32)
+    b = lambda *shape: jnp.zeros(lead + shape, bool)
     L = chunk_len
     return ChunkBuffers(
         position=f(L, dim),
@@ -379,8 +393,9 @@ def machine_step(
     # in checkpoint slot D-1, which the stack never reaches: a subtree of
     # size 2^depth uses stack indices 0..depth-1 and depth <= maxdepth-1.
     edge_p_old = jnp.where(fwd, s.p_plus, s.p_minus)
-    stash_idx = jnp.where(at_start & active, D - 1, D)
-    ckpt_p = s.ckpt_p.at[stash_idx].set(edge_p_old, mode="drop")
+    ckpt_p = masked_row_write(
+        s.ckpt_p, jnp.int32(D - 1), at_start & active, edge_p_old
+    )
     ckpt_s = s.ckpt_s
 
     # ------------------------------------------------ leapfrog (1 gradient)
@@ -432,9 +447,8 @@ def machine_step(
     odd = (n % 2) == 1
     top = s.ckpt_top
     push = active & odd
-    push_idx = jnp.where(push, top, D)
-    ckpt_p = ckpt_p.at[push_idx].set(p_new, mode="drop")
-    ckpt_s = ckpt_s.at[push_idx].set(rho_sub_pre, mode="drop")
+    ckpt_p = masked_row_write(ckpt_p, top, push, p_new)
+    ckpt_s = masked_row_write(ckpt_s, top, push, rho_sub_pre)
     top_after_push = jnp.where(push, top + 1, top)
 
     # trailing zeros of n (for even n): subtrees of sizes 2^1..2^t end here
@@ -531,17 +545,12 @@ def machine_step(
     tuning = s.draw_idx < sched.num_tune
     step_size_bar = jnp.exp(s.adapt.da.log_step_bar)
 
-    # Masked buffer writes use an out-of-bounds index with mode="drop"
-    # instead of read-modify-write: reading the buffer would force XLA to
-    # copy the whole [chunk, dim] buffer every loop iteration instead of
-    # updating it in place.
-    L_oob = mom_gauss.shape[0]
-    write_idx = jnp.where(draw_done, idx_c, L_oob)
-
+    # Masked buffer writes go through the backend-aware row writer (batched
+    # TPU scatters into large buffers miscompile; see ops/row_write.py).
     def write(buf, value):
         if buf is None:
             return None
-        return buf.at[write_idx].set(value, mode="drop")
+        return masked_row_write(buf, idx_c, draw_done, value)
 
     if cfg.flow is not None:
         # in base space a perfect flow has score(z) = -z
@@ -599,9 +608,9 @@ def machine_step(
         }
         W = cfg.flow.window
         ok_draw = draw_done & tuning & ~diverging
-        slot = jnp.where(ok_draw, s.adapt.win_count % W, W)
-        win_draws = s.adapt.win_draws.at[slot].set(prop_z, mode="drop")
-        win_grads = s.adapt.win_grads.at[slot].set(prop_g, mode="drop")
+        slot = s.adapt.win_count % W
+        win_draws = masked_row_write(s.adapt.win_draws, slot, ok_draw, prop_z)
+        win_grads = masked_row_write(s.adapt.win_grads, slot, ok_draw, prop_g)
         win_count = jnp.where(ok_draw, s.adapt.win_count + 1, s.adapt.win_count)
         adapt = s.adapt._replace(
             win_draws=win_draws, win_grads=win_grads, win_count=win_count,
@@ -626,11 +635,11 @@ def machine_step(
         )
         switch = (~frozen) & (s.draw_idx > 0) & ((s.draw_idx + 1) % freq == 0)
         ok_draw = draw_done & tuning & ~diverging
-        write = ok_draw & (s.adapt.win_count < W)
-        slot = jnp.where(write, s.adapt.win_count, W)
-        win_draws = s.adapt.win_draws.at[slot].set(prop_z, mode="drop")
-        win_grads = s.adapt.win_grads.at[slot].set(prop_g, mode="drop")
-        win_count = jnp.where(write, s.adapt.win_count + 1, s.adapt.win_count)
+        write_w = ok_draw & (s.adapt.win_count < W)
+        slot = jnp.clip(s.adapt.win_count, 0, W - 1)
+        win_draws = masked_row_write(s.adapt.win_draws, slot, write_w, prop_z)
+        win_grads = masked_row_write(s.adapt.win_grads, slot, write_w, prop_g)
+        win_count = jnp.where(write_w, s.adapt.win_count + 1, s.adapt.win_count)
         win_count = jnp.where(ok_draw & switch, 0, win_count)
         adapt = s.adapt._replace(
             win_draws=win_draws, win_grads=win_grads, win_count=win_count,

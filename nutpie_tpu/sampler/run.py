@@ -338,9 +338,7 @@ def make_chunk_runner(model: ModelDef, cfg: NutsConfig, chunk_len: int, dtype,
 
         mom_gauss, jitter_us = jax.vmap(per_chain_randoms)(states.rng_key)
 
-        bufs = jax.vmap(lambda _: init_buffers(cfg, chunk_len, dim, dtype))(
-            jnp.arange(n_chains)
-        )
+        bufs = init_buffers(cfg, chunk_len, dim, dtype, n_chains=n_chains)
 
         # every chain begins the chunk at a draw boundary
         states = states._replace(done=jnp.zeros_like(states.done))

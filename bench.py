@@ -30,8 +30,8 @@ import numpy as np
 BASELINE_ESS_PER_S = 2000.0
 
 CHAINS = 2048
-TUNE = 400
-DRAWS = 600
+TUNE = 300
+DRAWS = 1500
 CHUNK = 64
 
 

@@ -1,0 +1,71 @@
+"""Statistical acceptance gates, mirroring the reference's documented gates.
+
+- radon convergence gate: 0 divergences, min ESS > 500, Rhat <= 1.02
+  (``docs/stan-usage.qmd:207-211``)
+- ill-conditioned Gaussian: mass-matrix adaptation recovers the scales
+- pooled cross-chain adaptation sanity (TPU-build extension)
+"""
+
+import numpy as np
+import pytest
+
+import nutpie_tpu
+from nutpie_tpu import diagnostics
+from nutpie_tpu.frontends.pyfunc import compile_model_def
+from nutpie_tpu.models import ill_conditioned_gaussian, radon
+
+pytestmark = pytest.mark.slow
+
+
+def test_radon_convergence_gate():
+    model = compile_model_def(radon())
+    trace = nutpie_tpu.sample(
+        model, chains=4, tune=400, draws=800, seed=99, progress_bar=False
+    )
+    div = np.asarray(trace.sample_stats["diverging"].values).sum()
+    assert div == 0, div
+    worst_ess = np.inf
+    worst_rhat = 0.0
+    for name in ["intercept", "county_sd", "county_floor_sd", "sigma",
+                 "floor_effect"]:
+        x = np.asarray(trace.posterior[name].values)
+        worst_ess = min(worst_ess, float(diagnostics.ess(x)))
+        worst_rhat = max(worst_rhat, float(diagnostics.rhat(x)))
+    assert worst_ess > 500, worst_ess
+    assert worst_rhat <= 1.02, worst_rhat
+
+
+def test_ill_conditioned_gaussian_adaptation():
+    dim = 100
+    model = compile_model_def(
+        ill_conditioned_gaussian(dim=dim, condition=1e4, correlate=False)
+    )
+    trace = nutpie_tpu.sample(
+        model, chains=4, tune=500, draws=500, seed=3, progress_bar=False,
+        store_mass_matrix=True,
+    )
+    x = np.asarray(trace.posterior["x"].values)
+    true_var = np.logspace(0, 4, dim)
+    emp_var = x.reshape(-1, dim).var(axis=0)
+    ratio = emp_var / true_var
+    # scales spanning 4 orders of magnitude recovered within ~2x
+    assert np.all(ratio > 0.4) and np.all(ratio < 2.5), (ratio.min(), ratio.max())
+    mm = np.asarray(trace.sample_stats["mass_matrix_inv"].values)[:, -1]
+    log_err = np.abs(np.log10(mm / true_var))
+    assert np.median(log_err) < 0.5
+
+
+def test_pooled_mass_matrix():
+    model = compile_model_def(
+        ill_conditioned_gaussian(dim=20, condition=100.0, correlate=False)
+    )
+    trace = nutpie_tpu.sample(
+        model, chains=8, tune=300, draws=300, seed=5, progress_bar=False,
+        pool_mass_matrix=True, store_mass_matrix=True,
+    )
+    mm = np.asarray(trace.sample_stats["mass_matrix_inv"].values)[:, -1]
+    # pooled estimates should agree closely across chains
+    spread = mm.max(axis=0) / mm.min(axis=0)
+    assert np.median(spread) < 1.8, np.median(spread)
+    x = np.asarray(trace.posterior["x"].values)
+    assert abs(x.mean()) < 0.5

@@ -1,0 +1,174 @@
+"""API-surface parity tests: settings tree, with_data, containers, misc."""
+
+import json
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+import nutpie_tpu
+from nutpie_tpu import NutsSettings, MclmcSettings
+from nutpie_tpu.frontends.pyfunc import compile_model_def, from_pyfunc
+from nutpie_tpu.models import std_normal
+from nutpie_tpu.trace import DataArray, Dataset
+from nutpie_tpu.variables import resolve_variables, unconstrained_coord_labels
+
+
+# ------------------------------------------------------------------ settings
+
+def test_settings_flat_updates():
+    s = NutsSettings.Diag(seed=1)
+    s.update({"maxdepth": 12, "target_accept": 0.9, "num_tune": 500})
+    assert s.maxdepth == 12
+    assert s.adapt_options.step_size_settings.target_accept == 0.9
+    assert s.num_tune == 500
+    s.target_accept = 0.85  # attribute dispatch
+    assert s.adapt_options.step_size_settings.target_accept == 0.85
+
+
+def test_settings_variant_validation():
+    s = NutsSettings.Diag(seed=1)
+    with pytest.raises(ValueError, match="not available for diag"):
+        s.update({"mass_matrix_eigval_cutoff": 3.0})
+    lr = NutsSettings.LowRank(seed=1)
+    lr.update({"mass_matrix_eigval_cutoff": 3.0})
+    assert lr.adapt_options.mass_matrix_options.eigval_cutoff == 3.0
+    with pytest.raises(ValueError, match="not available for low-rank"):
+        lr.update({"use_grad_based_mass_matrix": False})
+    with pytest.raises(AttributeError, match="Unknown settings attribute"):
+        s.update({"not_a_setting": 1})
+
+
+def test_settings_round_trip():
+    s = NutsSettings.Diag(seed=7)
+    s.update({"maxdepth": 11, "step_size_jitter": 0.1})
+    d = s.as_dict()
+    assert d["adaptation"] == "diag"
+    assert d["settings"]["maxdepth"] == 11
+    json.dumps(d)  # serializable
+    s2 = NutsSettings.Diag(seed=7)
+    s2.update_settings(d["settings"])
+    assert s2.maxdepth == 11
+    assert s2.adapt_options.step_size_settings.jitter == 0.1
+
+
+def test_settings_fixed_step_method():
+    s = NutsSettings.Diag(seed=1)
+    s.update({"step_size_adapt_method": "0.25"})
+    assert s.adapt_options.step_size_settings.adapt_options.method == 0.25
+    s.update({"step_size_adapt_method": "adam"})
+    assert s.adapt_options.step_size_settings.adapt_options.method == "adam"
+    with pytest.raises(ValueError):
+        s.update({"step_size_adapt_method": "bogus"})
+
+
+def test_mclmc_settings():
+    s = MclmcSettings.Diag(seed=1)
+    s.update({"step_size": 0.7, "trajectory": "euclidean"})
+    assert s.step_size == 0.7
+    assert s.trajectory_kind == "euclidean"
+    with pytest.raises(ValueError, match="Unknown trajectory"):
+        s.update({"trajectory": "spiral"})
+
+
+def test_step_size_jitter_validation():
+    s = NutsSettings.Diag(seed=1)
+    with pytest.raises(ValueError, match="positive"):
+        s.update({"step_size_jitter": -0.5})
+    s.update({"step_size_jitter": 0.0})
+    assert s.adapt_options.step_size_settings.jitter is None
+
+
+# ----------------------------------------------------------------- with_data
+
+def test_pyfunc_with_data():
+    def make_logp(y):
+        yj = jnp.asarray(y)
+
+        def logp(x):
+            return -0.5 * jnp.sum((x[0] - yj) ** 2)
+
+        return logp
+
+    model = from_pyfunc(
+        1, make_logp, shared_data={"y": np.array([1.0, 1.0, 1.0])}
+    )
+    t1 = nutpie_tpu.sample(model, chains=2, draws=300, tune=200, seed=1,
+                           progress_bar=False)
+    m1 = np.asarray(t1.posterior["x"].values).mean()
+    model2 = model.with_data(y=np.array([5.0, 5.0, 5.0]))
+    t2 = nutpie_tpu.sample(model2, chains=2, draws=300, tune=200, seed=1,
+                           progress_bar=False)
+    m2 = np.asarray(t2.posterior["x"].values).mean()
+    assert abs(m1 - 1.0) < 0.2
+    assert abs(m2 - 5.0) < 0.2
+    with pytest.raises(KeyError):
+        model.with_data(z=np.zeros(3))
+    with pytest.raises(ValueError, match="shape"):
+        model.with_data(y=np.zeros(5))
+
+
+def test_benchmark_logp():
+    model = compile_model_def(std_normal(4))
+    out = model.benchmark_logp(np.zeros(4), num_evals=3, cores=[1, 2])
+    try:
+        import pandas as pd
+
+        assert list(out["batch"]) == [1, 2]
+        assert (out["evals_per_sec"] > 0).all()
+    except ImportError:
+        assert out["batch"] == [1, 2]
+
+
+# ---------------------------------------------------------------- containers
+
+def test_fallback_containers():
+    arr = DataArray(np.arange(24.0).reshape(2, 3, 4),
+                    ("chain", "draw", "x_dim"),
+                    coords={"x_dim": np.arange(4)})
+    assert arr.shape == (2, 3, 4)
+    m = arr.mean(dim="chain")
+    assert m.dims == ("draw", "x_dim")
+    assert float(arr.mean()) == pytest.approx(11.5)
+    sel = arr.isel(chain=0)
+    assert sel.dims == ("draw", "x_dim")
+    ds = Dataset({"a": arr}, attrs={"k": "v"})
+    assert "a" in ds
+    assert ds.a is arr
+    assert ds.attrs["k"] == "v"
+    np.testing.assert_array_equal(np.asarray(arr), arr.values)
+
+
+# ----------------------------------------------------------------- variables
+
+def test_resolve_variables_offsets_and_dims():
+    specs = [
+        ("a", np.dtype(np.float64), (), None),
+        ("b", np.dtype(np.float64), (3,), ("dim1",)),
+        ("c", np.dtype(np.float64), (3, 2), ("dim1", "dim2")),
+    ]
+    out, dim_sizes = resolve_variables(specs)
+    assert [v.start_idx for v in out] == [0, 1, 4]
+    assert out[-1].end_idx == 10
+    assert dim_sizes == {"dim1": 3, "dim2": 2}
+    with pytest.raises(ValueError, match="inconsistent"):
+        resolve_variables([("d", np.dtype(np.float64), (5,), ("dim1",))],
+                          dim_sizes)
+    labels = unconstrained_coord_labels(out)
+    assert labels[0] == "a"
+    assert labels[1] == "b_0"
+    assert labels[4] == "c_0.0"
+    assert len(labels) == 10
+
+
+def test_progress_time_estimate():
+    from nutpie_tpu.progress import ChainProgress, estimate_remaining_time
+
+    progress = [
+        ChainProgress(0, 50, 100, 0, True, True, False, 10, 500, 0.5,
+                      1000.0, []),
+        ChainProgress(1, 40, 100, 0, True, True, False, 10, 400, 0.5,
+                      1000.0, []),
+    ]
+    est = estimate_remaining_time(progress)
+    assert est == pytest.approx(60 / 40)

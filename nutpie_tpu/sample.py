@@ -195,6 +195,7 @@ def _mclmc_config_from_settings(settings: MclmcSettings) -> "MclmcConfig":
         steps_per_draw=max(1, int(round(settings.subsample_frequency))),
         dynamic_step_size=settings.dynamic_step_size,
         max_energy_error=settings.max_energy_error,
+        trajectory=settings.trajectory_kind,
         store_gradient=settings.store_gradient,
         store_mass_matrix=getattr(mm, "store_mass_matrix", False),
         adapt=adapt,
@@ -519,6 +520,14 @@ class _BackgroundSampler:
             stats[name] = arr
         if "mass_matrix_inv" in stats:
             stats["mass_matrix_stds"] = np.sqrt(stats["mass_matrix_inv"])
+        if "divergence_start" in stats:
+            # reference parity: a human-readable message column
+            msg = np.where(
+                stats["diverging"],
+                "energy error exceeded max_energy_error (or was non-finite)",
+                "",
+            )
+            stats["divergence_message"] = msg.astype(object)
         if self._store_unconstrained:
             stats["unconstrained_draw"] = cut(bufs.position)
         return {

@@ -42,6 +42,12 @@ class MclmcConfig:
     dynamic_step_size: bool = True
     max_energy_error: float = 1000.0
     target_eevpd: float = 5e-4
+    # "microcanonical" | "euclidean" | "euclidean_then_microcanonical"
+    # (reference MclmcTrajectoryKind, wrapper.rs:662-712): euclidean runs
+    # unadjusted underdamped Langevin (OU partial refresh of a Gaussian
+    # momentum); the _then_ variant switches to isokinetic dynamics halfway
+    # through warmup
+    trajectory: str = "microcanonical"
     store_gradient: bool = False
     store_mass_matrix: bool = False
     adapt: AdaptConfig = dataclasses.field(
@@ -113,52 +119,93 @@ def make_mclmc_chunk_runner(model, cfg: MclmcConfig, chunk_len: int, dtype):
     L = cfg.momentum_decoherence_length * jnp.sqrt(float(dim))
 
     def one_step(carry, key):
-        """Position-verlet step of the isokinetic dynamics + partial refresh.
+        """Position-verlet step + partial refresh, for either dynamics.
 
-        Two gradient evaluations per step (midpoint for the velocity update,
-        endpoint for the energy/statistics), like the reference dynamics'
-        leapfrog.  Energy change: dKE + dV with V = -logp, so
-        dV = logp_old - logp_new.
+        Both trajectory kinds share the skeleton (position half step,
+        momentum update from the midpoint gradient, position half step) so
+        the variant select is elementwise and costs no extra gradients.
+        Energy change: dKE + dV with V = -logp, so dV = logp_old - logp_new.
         """
-        x, g, logp, u, inv_mass, eps = carry
+        x, g, logp, u, inv_mass, eps, use_micro = carry
         sigma = jnp.sqrt(inv_mass)
         # preconditioned space z = x / sigma; dV/dz = -grad(logp) * sigma
         x = x + 0.5 * eps * sigma * u
         _, g_mid = logp_and_grad(x)
         g_z = -(g_mid.astype(dtype) * sigma)
-        u, dke = _update_velocity(u, g_z, eps, dim)
+        # isokinetic momentum update
+        u_m, dke_m = _update_velocity(u, g_z, eps, dim)
+        # euclidean (Langevin) momentum update: full kick
+        u_e = u - eps * g_z
+        dke_e = 0.5 * (jnp.sum(u_e * u_e) - jnp.sum(u * u))
+        u = jnp.where(use_micro, u_m, u_e)
+        dke = jnp.where(use_micro, dke_m, dke_e)
         x = x + 0.5 * eps * sigma * u
         logp2, g2 = logp_and_grad(x)
         de = dke + (logp - logp2.astype(dtype))
-        u = _partial_refresh(u, key, eps, L, dtype)
-        return (x, g2.astype(dtype), logp2.astype(dtype), u, inv_mass, eps), de
+        # partial refresh: projective for isokinetic, OU for euclidean
+        u_rm = _partial_refresh(u, key, eps, L, dtype)
+        c = jnp.exp(-eps / L)
+        xi = jax.random.normal(key, u.shape, dtype)
+        u_re = c * u + jnp.sqrt(jnp.maximum(1.0 - c * c, 0.0)) * xi
+        u = jnp.where(use_micro, u_rm, u_re)
+        return (
+            x, g2.astype(dtype), logp2.astype(dtype), u, inv_mass, eps,
+            use_micro,
+        ), de
 
     def one_draw(state: MclmcState, sched: Schedule, draw_keys):
         eps = jnp.exp(state.log_eps)
+        if cfg.trajectory == "euclidean":
+            use_micro = jnp.zeros((), bool)
+        elif cfg.trajectory == "euclidean_then_microcanonical":
+            use_micro = state.draw_idx >= sched.num_tune // 2
+        else:
+            use_micro = jnp.ones((), bool)
+        u0 = state.velocity
+        # entering the isokinetic regime requires |u| = 1
+        u0 = jnp.where(
+            use_micro, u0 / jnp.sqrt(jnp.maximum(jnp.sum(u0 * u0), 1e-30)), u0
+        )
         carry = (
-            state.position, state.gradient, state.logp, state.velocity,
-            state.inv_mass, eps,
+            state.position, state.gradient, state.logp, u0,
+            state.inv_mass, eps, use_micro,
         )
         carry, des = jax.lax.scan(one_step, carry, draw_keys)
-        x, g, logp, u, _, _ = carry
+        x, g, logp, u, _, _, _ = carry
         de_total = jnp.sum(des)
         var_e = jnp.mean(jnp.square(des))
-        diverging = (~jnp.isfinite(de_total)) | (
-            jnp.abs(de_total) > cfg.max_energy_error
+        # the euclidean (unadjusted Langevin) dynamics has no multinomial
+        # correction, so runaway moves must be rejected aggressively or a
+        # chain can drift far out and freeze its step size
+        thr = jnp.where(
+            use_micro, cfg.max_energy_error,
+            jnp.minimum(cfg.max_energy_error, 5.0),
         )
-        # reject the draw entirely if it diverged (stay, resample velocity)
+        diverging = (~jnp.isfinite(de_total)) | (jnp.abs(de_total) > thr)
+        # reject the draw entirely if it diverged: reset position AND
+        # momentum (keeping a blown-up momentum would let the next draw
+        # trade its huge kinetic energy for potential with a small *net*
+        # energy error, silently teleporting the chain into the tails)
         x = jnp.where(diverging, state.position, x)
         g = jnp.where(diverging, state.gradient, g)
         logp = jnp.where(diverging, state.logp, logp)
+        fresh_u = jax.random.normal(draw_keys[-1], u.shape, dtype)
+        fresh_u = jnp.where(
+            use_micro, fresh_u / jnp.sqrt(jnp.sum(fresh_u * fresh_u)), fresh_u
+        )
+        u = jnp.where(diverging, fresh_u, u)
 
         tuning = state.draw_idx < sched.num_tune
         # -- step size adaptation toward target EEVPD
         if cfg.dynamic_step_size:
             eevpd = jnp.maximum(var_e / dim, 1e-20)
             adj = 0.2 * (jnp.log(cfg.target_eevpd) - jnp.log(eevpd))
-            adj = jnp.clip(adj, -0.3, 0.3)
+            # grow cautiously, shrink fast: unadjusted dynamics blow up
+            # exponentially past the stability threshold
+            adj = jnp.clip(adj, -0.3, jnp.where(use_micro, 0.3, 0.1))
             adj = jnp.where(diverging, -0.5, adj)
             log_eps = jnp.where(tuning, state.log_eps + adj, state.log_eps)
+            log_eps = jnp.maximum(log_eps, jnp.log(1e-6))
         else:
             log_eps = state.log_eps
         # -- mass matrix windows (same scheme as NUTS)

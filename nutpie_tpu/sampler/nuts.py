@@ -168,6 +168,7 @@ class ChunkBuffers(NamedTuple):
     transformed_position: Optional[jax.Array]   # [L, dim] (flow + store_transformed)
     transformed_gradient: Optional[jax.Array]
     transformation_mu: Optional[jax.Array]
+    mass_matrix_eigvals: Optional[jax.Array]    # [L, max_rank] (low_rank)
 
 
 def init_buffers(cfg: NutsConfig, chunk_len: int, dim: int, dtype,
@@ -211,6 +212,10 @@ def init_buffers(cfg: NutsConfig, chunk_len: int, dim: int, dtype,
         ),
         transformation_mu=(
             f(L, dim) if cfg.flow is not None and cfg.store_transformed else None
+        ),
+        mass_matrix_eigvals=(
+            f(L, cfg.low_rank.max_rank)
+            if cfg.low_rank is not None and cfg.store_mass_matrix else None
         ),
     )
 
@@ -581,6 +586,10 @@ def machine_step(
         transformation_mu=(
             write(bufs.transformation_mu, s.adapt.flow.mu)
             if bufs.transformation_mu is not None else None
+        ),
+        mass_matrix_eigvals=(
+            write(bufs.mass_matrix_eigvals, jnp.exp(s.adapt.metric.log_eigs))
+            if bufs.mass_matrix_eigvals is not None else None
         ),
     )
 

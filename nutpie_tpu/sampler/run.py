@@ -11,8 +11,12 @@ where the chains axis is sharded over the device mesh.
 
 Determinism: all randomness derives from ``fold_in`` chains of the per-chain
 key -- momentum gaussians are keyed by absolute draw index and in-trajectory
-scalars by the cumulative leapfrog count, so results are independent of chunk
-size and mesh layout.
+scalars by the cumulative leapfrog count, so the RNG streams are independent
+of chunk size and mesh layout, and repeated runs with a fixed configuration
+are bit-identical.  Changing the device layout or chain count can still
+perturb floating-point rounding through XLA's partition-dependent
+vectorization, which chaotically perturbs trajectories; posterior statistics
+are unaffected.
 """
 
 from __future__ import annotations

@@ -67,6 +67,8 @@ class ZarrTraceSink:
             w.create_coord(group, "chain", np.arange(self._n_chains), "chain")
             w.create_coord(group, "draw", np.arange(total), "draw")
             for name, values in chunk[source].items():
+                if values.dtype.kind == "O":
+                    continue  # string/object stats stay in-memory only
                 item_shape = values.shape[2:]
                 extra = dims_map.get(name)
                 if extra is None:
@@ -139,6 +141,8 @@ class ZarrTraceSink:
         ):
             warm_group, post_group = groups
             for name, values in chunk[source].items():
+                if values.dtype.kind == "O":
+                    continue
                 if self._save_warmup and warm_n > 0:
                     self._push(warm_group, name, values[:, :warm_n],
                                self._num_tune)

@@ -44,3 +44,15 @@ def test_mclmc_fixed_step_size():
     )
     eps = np.asarray(trace.sample_stats["step_size"].values)
     np.testing.assert_allclose(eps, 0.3)
+
+
+@pytest.mark.parametrize("traj", ["euclidean", "euclidean_then_microcanonical"])
+def test_mclmc_trajectory_kinds(traj):
+    model = compile_model_def(std_normal(3, mu=1.0, sigma=2.0))
+    trace = nutpie_tpu.sample(
+        model, sampler="mclmc", chains=4, draws=1500, tune=500, seed=33,
+        progress_bar=False, trajectory=traj,
+    )
+    x = np.asarray(trace.posterior["x"].values)
+    assert abs(x.mean() - 1.0) < 0.2
+    assert abs(x.std() - 2.0) < 0.3

@@ -31,8 +31,8 @@ BASELINE_ESS_PER_S = 2000.0
 
 CHAINS = 2048
 TUNE = 300
-DRAWS = 1500
-CHUNK = 64
+DRAWS = 3000
+CHUNK = 32
 
 
 def main() -> None:

@@ -27,6 +27,7 @@ class CompiledStanModel(CompiledModel):
 
     code: str = ""
     _data: Optional[dict] = None
+    _data_seed: int = 0
     _dims: dict = dataclasses.field(default_factory=dict)
     _coords: dict = dataclasses.field(default_factory=dict)
     model_name: str = "model"
@@ -38,7 +39,9 @@ class CompiledStanModel(CompiledModel):
         object.__setattr__(self, "_program", parse(self.code))
 
     def with_data(self, *, seed=None, **data: Any) -> "CompiledStanModel":
-        return dataclasses.replace(self, _data=dict(data))
+        return dataclasses.replace(
+            self, _data=dict(data), _data_seed=int(seed or 0)
+        )
 
     def with_coords(self, **coords: Any) -> "CompiledStanModel":
         merged = dict(self._coords)
@@ -61,7 +64,7 @@ class CompiledStanModel(CompiledModel):
                     f"call .with_data(...)"
                 )
             data = {}
-        return StanInterpreter(self._program, data)
+        return StanInterpreter(self._program, data, seed=self._data_seed)
 
     @property
     def n_dim(self) -> int:
@@ -88,6 +91,7 @@ class CompiledStanModel(CompiledModel):
             interp.ndim,
             interp.logp,
             expand_fn=interp.expand,
+            expand_needs_rng=interp.uses_gq_rng,
             expanded_vars=expanded_vars,
             param_vars=param_vars,
             coords=self._coords,

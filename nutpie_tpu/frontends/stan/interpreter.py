@@ -24,7 +24,14 @@ import numpy as np
 
 from . import ast_nodes as A
 from .errors import StanCompileError, StanRuntimeError
-from .stanlib import DISTRIBUTIONS, FUNCTIONS, LCCDFS, LCDFS, is_multivariate
+from .stanlib import (
+    DISTRIBUTIONS,
+    FUNCTIONS,
+    LCCDFS,
+    LCDFS,
+    RNG_FUNCTIONS,
+    is_multivariate,
+)
 from .transforms import make_transform
 
 
@@ -44,9 +51,20 @@ class _ReturnValue(Exception):
 class Ctx:
     """Mutable evaluation context for one logp/expand call."""
 
-    def __init__(self, mode: str):
+    def __init__(self, mode: str, rng_key=None):
         self.mode = mode  # "logp" | "expand"
         self.target = jnp.zeros(())
+        self.rng_key = rng_key
+
+    def next_key(self, node):
+        if self.rng_key is None:
+            raise StanCompileError(
+                "_rng functions are only available in generated quantities "
+                "and transformed data",
+                node.line, node.col,
+            )
+        self.rng_key, sub = jax.random.split(self.rng_key)
+        return sub
 
 
 def _static_int(value, node, what="expression") -> int:
@@ -95,14 +113,37 @@ class UserFunction:
         return None
 
 
+def _uses_rng(stmts) -> bool:
+    import dataclasses as _dc
+
+    found = False
+
+    def visit(node):
+        nonlocal found
+        if isinstance(node, A.Call) and node.name.endswith("_rng"):
+            found = True
+        if _dc.is_dataclass(node):
+            for f in _dc.fields(node):
+                visit(getattr(node, f.name))
+        elif isinstance(node, (list, tuple)):
+            for item in node:
+                visit(item)
+
+    visit(list(stmts))
+    return found
+
+
 class StanInterpreter:
     """Binds a parsed program to data and produces logp/expand callables."""
 
-    def __init__(self, program: A.Program, data: dict[str, Any]):
+    def __init__(self, program: A.Program, data: dict[str, Any],
+                 seed: int = 0):
         self.program = program
+        self.seed = seed
         self.functions: dict[str, UserFunction] = {}
         for fdef in program.functions:
             self.functions[fdef.name] = UserFunction(self, fdef)
+        self.uses_gq_rng = _uses_rng(program.generated_quantities)
 
         # ---- data block
         env: dict[str, Any] = {}
@@ -131,8 +172,8 @@ class StanInterpreter:
                 value = value.reshape(1, -1)
             env[name] = value
 
-        # ---- transformed data (concrete evaluation)
-        ctx = Ctx("logp")
+        # ---- transformed data (concrete evaluation; _rng uses a data seed)
+        ctx = Ctx("logp", rng_key=jax.random.key(seed ^ 0x5BD1E995))
         self.exec_stmts(program.transformed_data, env, ctx)
         self.base_env = env
 
@@ -246,8 +287,8 @@ class StanInterpreter:
         self.exec_stmts(self.program.model, env, ctx)
         return jnp.asarray(ctx.target, jnp.result_type(float))
 
-    def expand(self, x) -> dict[str, jax.Array]:
-        ctx = Ctx("expand")
+    def expand(self, x, rng_key=None) -> dict[str, jax.Array]:
+        ctx = Ctx("expand", rng_key=rng_key)
         env = dict(self.base_env)
         self.constrain(x, ctx, env)
         self.exec_stmts(self.program.transformed_parameters, env, ctx)
@@ -694,11 +735,12 @@ class StanInterpreter:
                 f"unsupported function {name!r}", node.line, node.col
             )
         if name.endswith("_rng"):
-            raise StanCompileError(
-                "_rng functions in generated quantities are not supported "
-                "yet by the TPU Stan compiler",
-                node.line, node.col,
-            )
+            fn = RNG_FUNCTIONS.get(name)
+            if fn is None:
+                raise StanCompileError(
+                    f"unsupported rng function {name!r}", node.line, node.col
+                )
+            return fn(ctx.next_key(node), *args)
 
         # shape queries need concrete handling
         if name in ("num_elements", "size"):

@@ -296,6 +296,74 @@ LCCDFS = {
 }
 
 
+# ------------------------------------------------------------ rng functions
+
+def _bshape(*args):
+    return jnp.broadcast_shapes(*(jnp.shape(a) for a in args))
+
+
+RNG_FUNCTIONS = {
+    "normal_rng": lambda key, mu, sigma: mu + sigma * jax.random.normal(
+        key, _bshape(mu, sigma)
+    ),
+    "std_normal_rng": lambda key: jax.random.normal(key, ()),
+    "uniform_rng": lambda key, lo, hi: jax.random.uniform(
+        key, _bshape(lo, hi), minval=lo, maxval=hi
+    ),
+    "lognormal_rng": lambda key, mu, sigma: jnp.exp(
+        mu + sigma * jax.random.normal(key, _bshape(mu, sigma))
+    ),
+    "exponential_rng": lambda key, lam: jax.random.exponential(
+        key, _bshape(lam)
+    ) / lam,
+    "gamma_rng": lambda key, a, b: jax.random.gamma(key, a, _bshape(a, b)) / b,
+    "inv_gamma_rng": lambda key, a, b: b / jax.random.gamma(
+        key, a, _bshape(a, b)
+    ),
+    "beta_rng": lambda key, a, b: jax.random.beta(key, a, b, _bshape(a, b)),
+    "chi_square_rng": lambda key, nu: 2.0 * jax.random.gamma(
+        key, jnp.asarray(nu) / 2.0, _bshape(nu)
+    ),
+    "student_t_rng": lambda key, nu, mu, sigma: mu + sigma * jax.random.t(
+        key, nu, _bshape(nu, mu, sigma)
+    ),
+    "cauchy_rng": lambda key, mu, sigma: mu + sigma * jnp.tan(
+        jnp.pi * (jax.random.uniform(key, _bshape(mu, sigma)) - 0.5)
+    ),
+    "double_exponential_rng": lambda key, mu, sigma: (
+        lambda v: mu + sigma * jnp.sign(v) * -jnp.log1p(-2.0 * jnp.abs(v))
+    )(jax.random.uniform(key, _bshape(mu, sigma)) - 0.5),
+    "weibull_rng": lambda key, a, sigma: sigma * (
+        -jnp.log1p(-jax.random.uniform(key, _bshape(a, sigma)))
+    ) ** (1.0 / a),
+    "bernoulli_rng": lambda key, p: jax.random.bernoulli(
+        key, p, _bshape(p)
+    ).astype(jnp.int32),
+    "bernoulli_logit_rng": lambda key, a: jax.random.bernoulli(
+        key, jax.nn.sigmoid(a), _bshape(a)
+    ).astype(jnp.int32),
+    "binomial_rng": lambda key, n, p: jax.random.binomial(
+        key, n, p, _bshape(n, p)
+    ).astype(jnp.int32),
+    "poisson_rng": lambda key, lam: jax.random.poisson(
+        key, lam, _bshape(lam)
+    ).astype(jnp.int32),
+    "poisson_log_rng": lambda key, a: jax.random.poisson(
+        key, jnp.exp(a), _bshape(a)
+    ).astype(jnp.int32),
+    "categorical_rng": lambda key, theta: (
+        jax.random.categorical(key, jnp.log(jnp.asarray(theta)), axis=-1) + 1
+    ).astype(jnp.int32),
+    "categorical_logit_rng": lambda key, beta: (
+        jax.random.categorical(key, jnp.asarray(beta), axis=-1) + 1
+    ).astype(jnp.int32),
+    "dirichlet_rng": lambda key, alpha: jax.random.dirichlet(key, alpha),
+    "multi_normal_rng": lambda key, mu, Sigma: jnp.asarray(mu)
+    + jnp.linalg.cholesky(jnp.asarray(Sigma))
+    @ jax.random.normal(key, (jnp.shape(mu)[-1],)),
+}
+
+
 def is_multivariate(name: str) -> bool:
     return name in _MULTIVARIATE
 

@@ -56,6 +56,9 @@ class ModelDef:
     ndim: int
     logp_fn: Callable[[jax.Array], jax.Array]
     expand_fn: Optional[Callable[[jax.Array], dict[str, jax.Array]]] = None
+    # when True, expand_fn has signature (x, key) -> dict (generated
+    # quantities with RNG; the sampler supplies a per-(chain, draw) key)
+    expand_needs_rng: bool = False
     expanded_variables: tuple[Variable, ...] = ()
     param_variables: tuple[Variable, ...] = ()
     dim_sizes: dict = dataclasses.field(default_factory=dict)
@@ -196,6 +199,7 @@ def make_model(
     coords: Optional[dict] = None,
     init_point_fn: Optional[Callable] = None,
     reparameterized_names: Sequence[str] = (),
+    expand_needs_rng: bool = False,
 ) -> ModelDef:
     """Convenience constructor resolving variable metadata."""
     dim_sizes: dict[str, int] = {}
@@ -225,6 +229,7 @@ def make_model(
         ndim=ndim,
         logp_fn=logp_fn,
         expand_fn=expand_fn,
+        expand_needs_rng=expand_needs_rng,
         expanded_variables=tuple(evars) if evars is not None else (),
         param_variables=tuple(pvars) if pvars is not None else (),
         dim_sizes=dim_sizes,

@@ -210,7 +210,15 @@ def _default_chunk_size(settings, n_chains: int, dim: int, itemsize: int) -> int
     n_vec_buffers += bool(getattr(mm, "store_mass_matrix", False))
     bytes_per_draw = n_chains * (dim * itemsize * n_vec_buffers + 128)
     target_bytes = 256 * 1024 * 1024
-    return int(np.clip(target_bytes // max(bytes_per_draw, 1), 8, 128))
+    cap = 128
+    try:
+        if jax.default_backend() == "tpu":
+            # buffer writes cost O(chunk) per leapfrog on TPU (select-based
+            # masked writes); short chunks keep the sampler compute-bound
+            cap = 32
+    except Exception:
+        pass
+    return int(np.clip(target_bytes // max(bytes_per_draw, 1), 8, cap))
 
 
 class _BackgroundSampler:
@@ -374,7 +382,30 @@ class _BackgroundSampler:
                 )
             else:
                 runner_sampling = runner
-        expand = jax.jit(jax.vmap(jax.vmap(model.expand_fn)))
+        if model.expand_needs_rng:
+            # per-(chain, draw) keys so generated-quantities RNG is
+            # deterministic and chain/draw-independent (the reference gives
+            # each chain its own Stan RNG, src/stan.rs:787-796)
+            _ex = jax.jit(jax.vmap(jax.vmap(model.expand_fn)))
+            gq_master = jax.random.key(self._seed ^ 0x6A09E667)
+
+            def expand(positions, chunk_start):
+                C, L = positions.shape[:2]
+                ckeys = jax.vmap(
+                    lambda c: jax.random.fold_in(gq_master, c)
+                )(jnp.arange(C))
+                dkeys = jax.vmap(
+                    lambda ck: jax.vmap(
+                        lambda d: jax.random.fold_in(ck, d)
+                    )(chunk_start + jnp.arange(L))
+                )(ckeys)
+                return _ex(positions, dkeys)
+
+        else:
+            _ex = jax.jit(jax.vmap(jax.vmap(model.expand_fn)))
+
+            def expand(positions, chunk_start):
+                return _ex(positions)
 
         sink = None
         if self._zarr_store is not None:
@@ -483,7 +514,7 @@ class _BackgroundSampler:
                     chunk_idx += 1
             if pending is not None:
                 p_bufs, p_start, p_limit, p_snap = pending
-                expanded = expand(p_bufs.position)
+                expanded = expand(p_bufs.position, p_start)
                 chunk = self._chunk_to_host(p_bufs, expanded, p_limit)
                 with self._lock:
                     self._chunks.append(chunk)

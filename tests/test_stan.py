@@ -296,3 +296,48 @@ def test_transformed_data():
     )
     delta = np.asarray(trace.posterior["delta"].values)
     assert abs(delta.mean()) < 0.15
+
+
+def test_generated_quantities_rng():
+    code = """
+    data {
+        int<lower=0> N;
+        vector[N] y;
+    }
+    parameters {
+        real mu;
+    }
+    model {
+        mu ~ normal(0, 10);
+        y ~ normal(mu, 1);
+    }
+    generated quantities {
+        real y_rep = normal_rng(mu, 1);
+        int k = poisson_rng(10.0);
+        vector[N] y_pred;
+        for (n in 1:N) {
+            y_pred[n] = normal_rng(mu, 1);
+        }
+    }
+    """
+    rng = np.random.default_rng(4)
+    y = 2.0 + rng.standard_normal(20)
+    compiled = compile_stan_model(code=code).with_data(N=20, y=y)
+    kwargs = dict(chains=2, draws=400, tune=300, seed=17, progress_bar=False)
+    trace = nutpie_tpu.sample(compiled, **kwargs)
+    y_rep = np.asarray(trace.posterior["y_rep"].values)
+    k = np.asarray(trace.posterior["k"].values)
+    y_pred = np.asarray(trace.posterior["y_pred"].values)
+    assert y_pred.shape == (2, 400, 20)
+    # posterior predictive distribution ~ N(2, sqrt(1 + 1/20))
+    assert abs(y_rep.mean() - 2.0) < 0.2
+    assert abs(y_rep.std() - np.sqrt(1 + 1 / 20)) < 0.15
+    assert abs(k.mean() - 10.0) < 0.5
+    # rng streams differ across draws and chains
+    assert len(np.unique(y_rep.round(6))) > 700
+    assert not np.allclose(y_rep[0], y_rep[1])
+    # but are reproducible for a fixed seed
+    trace2 = nutpie_tpu.sample(compiled, **kwargs)
+    np.testing.assert_array_equal(
+        y_rep, np.asarray(trace2.posterior["y_rep"].values)
+    )

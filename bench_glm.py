@@ -1,0 +1,88 @@
+"""Many-chain throughput benchmark: logistic GLM (BASELINE.json config #5,
+"Large logistic GLM, 10k+ chains sharded across pod slice").
+
+On a single chip this measures the many-chain operating point; on a pod
+slice the chains axis shards over the mesh (see nutpie_tpu.parallel).
+Prints one JSON line like bench.py.
+"""
+
+import json
+import time
+
+import numpy as np
+
+CHAINS = 8192
+TUNE = 300
+DRAWS = 700
+CHUNK = 32
+N_DATA = 2048
+DIM = 64
+
+
+def main() -> None:
+    import jax
+    import jax.numpy as jnp
+
+    from nutpie_tpu.diagnostics_device import min_ess_over_columns
+    from nutpie_tpu.models import logistic_glm
+    from nutpie_tpu.sampler import NutsConfig, AdaptConfig
+    from nutpie_tpu.sampler.adapt import make_schedule
+    from nutpie_tpu.sampler.run import init_chains, make_chunk_runner, make_init_fn
+
+    ctx = jax.default_matmul_precision("highest")
+    ctx.__enter__()
+
+    model = logistic_glm(n_data=N_DATA, dim=DIM)
+    dtype = jnp.float32
+    cfg = NutsConfig(adapt=AdaptConfig(num_tune=TUNE))
+    sched = make_schedule(cfg.adapt, TUNE)
+    total = TUNE + DRAWS
+
+    init_fn = make_init_fn(model, cfg, dtype)
+    runner = make_chunk_runner(model, cfg, CHUNK, dtype)
+    cols = jnp.arange(0, DIM, max(1, DIM // 24), dtype=jnp.int32)
+
+    def run(seed):
+        states, ok = init_chains(
+            model, cfg, seed, CHAINS, np.zeros(model.ndim), dtype,
+            init_fn=init_fn,
+        )
+        post = []
+        n_steps = 0
+        divergences = 0
+        start = 0
+        while start < total:
+            limit = min(CHUNK, total - start)
+            states, bufs = runner(states, start, limit, sched)
+            if start + limit > TUNE:
+                post.append(bufs.position[:, max(0, TUNE - start):limit])
+            n_steps += int(jnp.sum(bufs.n_steps))
+            divergences += int(jnp.sum(bufs.diverging))
+            start += limit
+        posterior = jnp.concatenate(post, axis=1)
+        min_ess = float(min_ess_over_columns(posterior, cols))
+        return min_ess, n_steps, divergences
+
+    run(1)  # compile
+    t0 = time.perf_counter()
+    min_ess, n_steps, divergences = run(42)
+    elapsed = time.perf_counter() - t0
+
+    print(json.dumps({
+        "metric": "glm_manychain_min_ess_per_s",
+        "value": round(min_ess / elapsed, 2),
+        "unit": "ESS/s",
+        "vs_baseline": None,
+        "detail": {
+            "chains": CHAINS, "tune": TUNE, "draws": DRAWS,
+            "n_data": N_DATA, "dim": DIM,
+            "min_ess": round(min_ess, 1), "wall_s": round(elapsed, 2),
+            "grad_evals_per_s": round(n_steps / elapsed, 1),
+            "divergences": divergences,
+            "device": str(jax.devices()[0]),
+        },
+    }))
+
+
+if __name__ == "__main__":
+    main()

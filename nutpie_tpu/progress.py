@@ -125,6 +125,69 @@ class TerminalHandler(ProgressHandler):
         self._stream.flush()
 
 
+def render_template(template: str, progress: Sequence[ChainProgress]) -> str:
+    """Minimal renderer for reference-style progress templates.
+
+    Supports ``{{ name }}`` substitution of global values and
+    ``{% for chain in chains %} ... {% endfor %}`` blocks with
+    ``{{ chain.field }}`` per-chain values -- the subset of the ``upon``
+    template language the reference's built-in template uses
+    (``progress.rs:96-258``).
+    """
+    import re
+
+    remaining = estimate_remaining_time(progress)
+    global_vars = {
+        "total_chains": len(progress),
+        "finished_chains": sum(p.finished for p in progress),
+        "total_draws": sum(p.total_draws for p in progress),
+        "finished_draws": sum(p.finished_draws for p in progress),
+        "divergences": sum(p.divergences for p in progress),
+        "total_num_steps": sum(p.total_num_steps for p in progress),
+        "time_remaining_estimate": (
+            f"{remaining:.0f}s" if remaining is not None else "?"
+        ),
+    }
+
+    def chain_vars(p: ChainProgress):
+        return {
+            "chain_index": p.chain_index,
+            "finished_draws": p.finished_draws,
+            "total_draws": p.total_draws,
+            "divergences": p.divergences,
+            "tuning": p.tuning,
+            "started": p.started,
+            "finished": p.finished,
+            "latest_num_steps": p.latest_num_steps,
+            "total_num_steps": p.total_num_steps,
+            "step_size": f"{p.step_size:.3g}",
+            "divergent_draws": p.divergent_draws,
+        }
+
+    def sub(text: str, values: dict) -> str:
+        def repl(match):
+            key = match.group(1).strip()
+            if key.startswith("chain."):
+                key = key[len("chain."):]
+            return str(values.get(key, match.group(0)))
+
+        return re.sub(r"\{\{([^}]+)\}\}", repl, text)
+
+    loop_re = re.compile(
+        r"\{%\s*for\s+chain\s+in\s+chains\s*%\}(.*?)\{%\s*endfor\s*%\}",
+        re.DOTALL,
+    )
+
+    def expand_loop(match):
+        body = match.group(1)
+        return "".join(
+            sub(body, {**global_vars, **chain_vars(p)}) for p in progress
+        )
+
+    out = loop_re.sub(expand_loop, template)
+    return sub(out, global_vars)
+
+
 class HTMLHandler(ProgressHandler):
     """Jupyter display handler rendering an HTML table per update."""
 
@@ -141,6 +204,13 @@ class HTMLHandler(ProgressHandler):
     def _render(self, progress):
         from IPython.display import HTML
 
+        if self._template:
+            html = HTML(self._style + render_template(self._template, progress))
+            if self._handle is None:
+                self._handle = self._display(html, display_id=True)
+            else:
+                self._handle.update(html)
+            return
         rows = []
         for p in progress:
             frac = p.finished_draws / max(p.total_draws, 1)

@@ -172,3 +172,45 @@ def test_progress_time_estimate():
     ]
     est = estimate_remaining_time(progress)
     assert est == pytest.approx(60 / 40)
+
+
+def test_render_template():
+    from nutpie_tpu.progress import ChainProgress, render_template
+
+    progress = [
+        ChainProgress(0, 50, 100, 1, True, True, False, 7, 350, 0.41,
+                      500.0, [3]),
+        ChainProgress(1, 60, 100, 0, True, True, False, 9, 400, 0.38,
+                      500.0, []),
+    ]
+    template = (
+        "<b>{{ finished_draws }}/{{ total_draws }}</b>"
+        "{% for chain in chains %}"
+        "[{{ chain.chain_index }}: {{ chain.finished_draws }} "
+        "div={{ chain.divergences }} eps={{ chain.step_size }}]"
+        "{% endfor %}"
+    )
+    out = render_template(template, progress)
+    assert "<b>110/200</b>" in out
+    assert "[0: 50 div=1 eps=0.41]" in out
+    assert "[1: 60 div=0 eps=0.38]" in out
+
+
+def test_masked_row_write():
+    import jax
+    from nutpie_tpu.ops.row_write import masked_row_write
+
+    buf = jnp.full((4, 6, 3), jnp.nan)
+    idx = jnp.array([0, 2, 5, 1])
+    mask = jnp.array([True, True, False, True])
+    vals = jnp.arange(12.0).reshape(4, 3)
+    out = jax.vmap(masked_row_write)(buf, idx, mask, vals)
+    out = np.asarray(out)
+    np.testing.assert_array_equal(out[0, 0], [0, 1, 2])
+    np.testing.assert_array_equal(out[1, 2], [3, 4, 5])
+    assert np.isnan(out[2]).all()
+    np.testing.assert_array_equal(out[3, 1], [9, 10, 11])
+    # 1-D buffers
+    buf1 = jnp.zeros((4, 6))
+    out1 = jax.vmap(masked_row_write)(buf1, idx, mask, jnp.ones(4))
+    assert np.asarray(out1).sum() == 3

@@ -55,7 +55,7 @@ def main() -> None:
     total = TUNE + DRAWS
 
     init_fn = make_init_fn(model, cfg, dtype)
-    runner = make_chunk_runner(model, cfg, CHUNK, dtype)
+    runner = make_chunk_runner(model, cfg, CHUNK, dtype, unroll=4)
 
     # monitored columns: intercept, both log-sds, log-sigma, spread of
     # county effects (the worst mixers are the hierarchical scales)

@@ -39,7 +39,7 @@ def main() -> None:
     total = TUNE + DRAWS
 
     init_fn = make_init_fn(model, cfg, dtype)
-    runner = make_chunk_runner(model, cfg, CHUNK, dtype)
+    runner = make_chunk_runner(model, cfg, CHUNK, dtype, unroll=4)
     cols = jnp.arange(0, DIM, max(1, DIM // 24), dtype=jnp.int32)
 
     def run(seed):

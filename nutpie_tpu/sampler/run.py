@@ -182,11 +182,15 @@ def init_chains(
 
 
 def make_chunk_runner(model: ModelDef, cfg: NutsConfig, chunk_len: int, dtype,
-                      pool_mass_matrix: bool = False, flow_train: bool = True):
+                      pool_mass_matrix: bool = False, flow_train: bool = True,
+                      unroll: int = 1):
     """Build the jitted function running one chunk of draws for all chains.
 
     ``flow_train=False`` compiles a variant without the flow-training stage
     (used for post-warmup chunks, where the flow is frozen).
+    ``unroll`` applies the machine step N times per while-loop iteration
+    (the step is fully masked, so over-stepping a finished chain is a
+    no-op; reduces loop-bookkeeping overhead).
     """
 
     if cfg.flow is not None:
@@ -361,7 +365,11 @@ def make_chunk_runner(model: ModelDef, cfg: NutsConfig, chunk_len: int, dtype,
 
         def body(carry):
             st, bf = carry
-            return step(sched, mom_gauss, jitter_us, chunk_start, limit, st, bf)
+            for _ in range(max(1, unroll)):
+                st, bf = step(
+                    sched, mom_gauss, jitter_us, chunk_start, limit, st, bf
+                )
+            return st, bf
 
         states, bufs = jax.lax.while_loop(cond, body, (states, bufs))
 

@@ -39,14 +39,25 @@ def from_pyfunc(*args, **kwargs):
     return _impl(*args, **kwargs)
 
 
+def prune_stan_cache() -> None:
+    """No-op for API compatibility (no on-disk Stan artifact cache here)."""
+    from .frontends.stan import prune_stan_cache as _impl
+
+    _impl()
+
+
 __all__ = [
     "__version__",
     "sample",
     "compile_pymc_model",
     "compile_stan_model",
+    "prune_stan_cache",
     "from_pyfunc",
     "CompiledModel",
     "ChainProgress",
     "NutsSettings",
     "MclmcSettings",
+    "zarr_store",
 ]
+
+from . import zarr_store  # noqa: E402  (public submodule, reference parity)

@@ -48,6 +48,14 @@ class FlowConfig:
     scale_cap: float = 3.0     # bound on coupling log-scales
     grad_clip: float = 10.0
     update_freq: int = 64      # flow update cadence (chunk-aligned)
+    # trainable Householder reflections interleaved after each coupling
+    # (coordinate mixing beyond the alternating masks; reference
+    # ``normalizing_flow.py:424-473``)
+    householder: int = 0
+    # elementwise sinh-asinh tail layer before the diagonal affine
+    # (heavy/light tail control; reference Contract bijections,
+    # ``normalizing_flow.py:1218-1408``)
+    tails: bool = False
 
 
 class FlowParams(NamedTuple):
@@ -57,6 +65,9 @@ class FlowParams(NamedTuple):
     b1: jax.Array         # [layers, hidden]
     w2: jax.Array         # [layers, hidden, 2*dim]
     b2: jax.Array         # [layers, 2*dim]
+    hh_v: jax.Array       # [n_householder, dim] reflection vectors
+    tail_s: jax.Array     # [dim] sinh-asinh skew (0 = none)
+    tail_log_t: jax.Array # [dim] sinh-asinh log tailweight (0 = identity)
 
 
 def _masks(num_layers: int, dim: int, dtype):
@@ -72,6 +83,13 @@ def init_flow_params(cfg: FlowConfig, dim: int, key, dtype) -> FlowParams:
     w1 = 0.01 * jax.random.normal(
         k1, (cfg.num_layers, dim, cfg.hidden), dtype
     )
+    n_hh = max(cfg.householder, 0) * cfg.num_layers if cfg.householder else 0
+    k2 = jax.random.fold_in(key, 1)
+    hh_v = jnp.zeros((n_hh, dim), dtype)
+    if n_hh:
+        # near-axis random reflections (exact reflections regardless of
+        # norm; the direction is what trains)
+        hh_v = jax.random.normal(k2, (n_hh, dim), dtype)
     return FlowParams(
         mu=jnp.zeros((dim,), dtype),
         log_sigma=jnp.zeros((dim,), dtype),
@@ -80,7 +98,34 @@ def init_flow_params(cfg: FlowConfig, dim: int, key, dtype) -> FlowParams:
         # zero output layer -> the couplings start as exact identities
         w2=jnp.zeros((cfg.num_layers, cfg.hidden, 2 * dim), dtype),
         b2=jnp.zeros((cfg.num_layers, 2 * dim), dtype),
+        hh_v=hh_v,
+        tail_s=jnp.zeros((dim,), dtype),
+        tail_log_t=jnp.zeros((dim,), dtype),
     )
+
+
+def _householder(v: jax.Array, y: jax.Array) -> jax.Array:
+    """Reflection across the hyperplane orthogonal to v (self-inverse)."""
+    vn = v / jnp.sqrt(jnp.maximum(jnp.sum(v * v), 1e-12))
+    return y - 2.0 * vn * jnp.dot(vn, y)
+
+
+def _tail_forward(params: FlowParams, y: jax.Array):
+    """Sinh-asinh: x = sinh(t * asinh(y) + s); identity at (s=0, t=1)."""
+    t = jnp.exp(params.tail_log_t)
+    a = jnp.arcsinh(y)
+    x = jnp.sinh(t * a + params.tail_s)
+    logdet = jnp.sum(
+        params.tail_log_t
+        + jnp.log(jnp.cosh(t * a + params.tail_s))
+        - 0.5 * jnp.log1p(y * y)
+    )
+    return x, logdet
+
+
+def _tail_inverse(params: FlowParams, x: jax.Array) -> jax.Array:
+    t = jnp.exp(params.tail_log_t)
+    return jnp.sinh((jnp.arcsinh(x) - params.tail_s) / t)
 
 
 def _coupling_nets(cfg: FlowConfig, params: FlowParams, layer: int,
@@ -105,6 +150,11 @@ def flow_forward(cfg: FlowConfig, params: FlowParams, z: jax.Array):
         free = 1.0 - m
         y = m * y + free * (y * jnp.exp(log_scale) + shift)
         logdet = logdet + jnp.sum(free * log_scale)
+        for h in range(cfg.householder):
+            y = _householder(params.hh_v[i * cfg.householder + h], y)
+    if cfg.tails:
+        y, tail_ld = _tail_forward(params, y)
+        logdet = logdet + tail_ld
     x = params.mu + jnp.exp(params.log_sigma) * y
     logdet = logdet + jnp.sum(params.log_sigma)
     return x, logdet
@@ -115,7 +165,11 @@ def flow_inverse(cfg: FlowConfig, params: FlowParams, x: jax.Array):
     dim = params.mu.shape[0]
     masks = _masks(cfg.num_layers, dim, x.dtype)
     y = (x - params.mu) * jnp.exp(-params.log_sigma)
+    if cfg.tails:
+        y = _tail_inverse(params, y)
     for i in reversed(range(cfg.num_layers)):
+        for h in reversed(range(cfg.householder)):
+            y = _householder(params.hh_v[i * cfg.householder + h], y)
         m = masks[i]
         shift, log_scale = _coupling_nets(cfg, params, i, y * m)
         free = 1.0 - m

@@ -43,3 +43,25 @@ def test_resume_shape_mismatch_rejected(tmp_path):
             other, chains=2, draws=10, tune=10, seed=1, progress_bar=False,
             resume_from=str(ckpt),
         )
+
+
+def test_checkpoint_with_flow_state(tmp_path):
+    """Flow adaptation state (incl. flow params) round-trips checkpoints."""
+    from nutpie_tpu.models import std_normal
+
+    model = compile_model_def(std_normal(3)).with_transform_adapt(
+        num_layers=2, hidden=8, train_steps=20, window=64,
+    )
+    ckpt = tmp_path / "flow.npz"
+    common = dict(chains=2, adaptation="flow", progress_bar=False,
+                  chunk_size=32, seed=9)
+    full = nutpie_tpu.sample(model, draws=96, tune=64, **common)
+    nutpie_tpu.sample(model, draws=32, tune=64, checkpoint=str(ckpt), **common)
+    resumed = nutpie_tpu.sample(
+        model, draws=96, tune=64, resume_from=str(ckpt), **common
+    )
+    np.testing.assert_allclose(
+        np.asarray(resumed.posterior["x"].values),
+        np.asarray(full.posterior["x"].values)[:, -64:],
+        rtol=1e-10,
+    )

@@ -142,3 +142,36 @@ def test_flow_transformed_stats():
     x = np.asarray(trace.posterior["x"].values)
     assert abs(x.mean()) < 0.25
     assert abs(x.std() - 1.0) < 0.25
+
+
+def test_flow_householder_and_tails_roundtrip():
+    cfg = FlowConfig(num_layers=2, hidden=8, householder=1, tails=True)
+    key = jax.random.key(7)
+    params = init_flow_params(cfg, 4, key, jnp.float64)
+    params = params._replace(
+        w2=0.1 * jax.random.normal(key, params.w2.shape, jnp.float64),
+        tail_s=jnp.array([0.1, -0.2, 0.0, 0.3]),
+        tail_log_t=jnp.array([0.2, -0.1, 0.0, 0.05]),
+    )
+    z = jax.random.normal(jax.random.key(8), (4,), jnp.float64)
+    x, logdet = flow_forward(cfg, params, z)
+    z_back = flow_inverse(cfg, params, x)
+    np.testing.assert_allclose(np.asarray(z_back), np.asarray(z), atol=1e-9)
+    J = jax.jacfwd(lambda zz: flow_forward(cfg, params, zz)[0])(z)
+    np.testing.assert_allclose(
+        float(logdet), float(jnp.linalg.slogdet(J)[1]), rtol=1e-7
+    )
+
+
+def test_flow_sampling_with_extended_architecture():
+    model = compile_model_def(funnel(dim=4)).with_transform_adapt(
+        num_layers=2, hidden=12, train_steps=80, window=128,
+        householder=1, tails=True, learning_rate=2e-3,
+    )
+    trace = nutpie_tpu.sample(
+        model, chains=2, draws=200, tune=400, seed=21, progress_bar=False,
+        adaptation="flow",
+    )
+    v = np.asarray(trace.posterior["v"].values)
+    assert np.isfinite(v).all()
+    assert v.std() > 1.5  # reaches well into the funnel

@@ -341,3 +341,29 @@ def test_generated_quantities_rng():
     np.testing.assert_array_equal(
         y_rep, np.asarray(trace2.posterior["y_rep"].values)
     )
+
+
+def test_with_coords_and_dims():
+    code = """
+    data {
+        int<lower=1> K;
+    }
+    parameters {
+        vector[K] beta;
+    }
+    model {
+        beta ~ normal(0, 1);
+    }
+    """
+    compiled = (
+        compile_stan_model(code=code)
+        .with_data(K=3)
+        .with_dims(beta=("predictor",))
+        .with_coords(predictor=["a", "b", "c"])
+    )
+    trace = nutpie_tpu.sample(
+        compiled, chains=2, draws=50, tune=50, seed=1, progress_bar=False
+    )
+    beta = trace.posterior["beta"]
+    assert beta.dims == ("chain", "draw", "predictor")
+    assert list(np.asarray(beta.coords["predictor"])) == ["a", "b", "c"]

@@ -543,18 +543,41 @@ class _BackgroundSampler:
         if sink is not None:
             sink.finalize(self._draws_done)
 
+    _SCALAR_DTYPES = {
+        "depth": np.int32,
+        "n_steps": np.int32,
+        "index_in_trajectory": np.int32,
+        "maxdepth_reached": bool,
+        "diverging": bool,
+    }
+
     def _chunk_to_host(self, bufs, expanded, limit: int) -> dict:
         def cut(x):
             return np.asarray(x)[:, :limit]
 
         stats = {}
         for name, value in bufs._asdict().items():
-            if value is None or name == "position":
+            if value is None or name in ("position", "scalars"):
                 continue
             arr = cut(value)
             if name in ("diverging", "maxdepth_reached"):
                 arr = arr.astype(bool)
             stats[name] = arr
+        if hasattr(bufs, "scalars"):
+            from .sampler.nuts import SCALAR_SLOTS
+
+            packed = cut(bufs.scalars)
+            is_flow = getattr(self._cfg, "flow", None) is not None
+            for name, slot in SCALAR_SLOTS.items():
+                if name == "fisher_distance" and not is_flow:
+                    continue
+                arr = packed[..., slot]
+                dt = self._SCALAR_DTYPES.get(name)
+                if dt is bool:
+                    arr = arr > 0.5
+                elif dt is not None:
+                    arr = arr.astype(dt)
+                stats[name] = arr
         if "mass_matrix_inv" in stats:
             stats["mass_matrix_stds"] = np.sqrt(stats["mass_matrix_inv"])
         if "divergence_start" in stats:

@@ -140,35 +140,96 @@ def metric_momentum(cfg: NutsConfig, adapt, gauss: jax.Array) -> jax.Array:
     return gauss / jnp.sqrt(adapt.inv_mass)
 
 
+# slot layout of the packed per-draw scalar statistics buffer; integers and
+# booleans are stored in the float dtype (exact well past their ranges) and
+# restored on the host
+SCALAR_SLOTS = {
+    "logp": 0,
+    "energy": 1,
+    "depth": 2,
+    "maxdepth_reached": 3,
+    "diverging": 4,
+    "step_size": 5,
+    "step_size_bar": 6,
+    "n_steps": 7,
+    "mean_tree_accept": 8,
+    "index_in_trajectory": 9,
+    "fisher_distance": 10,
+}
+N_SCALAR_SLOTS = 12
+
+
+def _slot(scalars: jax.Array, name: str) -> jax.Array:
+    return scalars[..., SCALAR_SLOTS[name]]
+
+
 class ChunkBuffers(NamedTuple):
     """Per-chain output buffers for one chunk of draws ([chunk_len, ...]).
 
-    Writes go through :func:`nutpie_tpu.ops.row_write.masked_row_write`
-    (backend-aware: select on TPU, scatter elsewhere).
+    The ~11 per-draw scalar statistics are packed into one
+    ``scalars [L, N_SCALAR_SLOTS]`` buffer so each completed draw costs two
+    masked row writes (scalars + position) instead of a dozen.  Named
+    accessors expose the individual statistics.  Writes go through
+    :func:`nutpie_tpu.ops.row_write.masked_row_write` (backend-aware:
+    select on TPU, scatter elsewhere).
     """
 
     position: jax.Array             # [L, dim] unconstrained draws
-    logp: jax.Array                 # [L]
-    energy: jax.Array               # [L]
-    depth: jax.Array                # [L] i32
-    maxdepth_reached: jax.Array     # [L] bool
-    diverging: jax.Array            # [L] bool
-    step_size: jax.Array            # [L]
-    step_size_bar: jax.Array        # [L]
-    n_steps: jax.Array              # [L] i32
-    mean_tree_accept: jax.Array     # [L]
-    index_in_trajectory: jax.Array  # [L] i32
+    scalars: jax.Array              # [L, N_SCALAR_SLOTS]
     gradient: Optional[jax.Array]          # [L, dim] if store_gradient
     mass_matrix_inv: Optional[jax.Array]   # [L, dim] if store_mass_matrix
     divergence_start: Optional[jax.Array]  # [L, dim] if store_divergences
     divergence_end: Optional[jax.Array]
     divergence_momentum: Optional[jax.Array]
     divergence_start_gradient: Optional[jax.Array]
-    fisher_distance: Optional[jax.Array]        # [L] (flow mode)
     transformed_position: Optional[jax.Array]   # [L, dim] (flow + store_transformed)
     transformed_gradient: Optional[jax.Array]
     transformation_mu: Optional[jax.Array]
     mass_matrix_eigvals: Optional[jax.Array]    # [L, max_rank] (low_rank)
+
+    @property
+    def logp(self):
+        return _slot(self.scalars, "logp")
+
+    @property
+    def energy(self):
+        return _slot(self.scalars, "energy")
+
+    @property
+    def depth(self):
+        return _slot(self.scalars, "depth").astype(jnp.int32)
+
+    @property
+    def maxdepth_reached(self):
+        return _slot(self.scalars, "maxdepth_reached") > 0.5
+
+    @property
+    def diverging(self):
+        return _slot(self.scalars, "diverging") > 0.5
+
+    @property
+    def step_size(self):
+        return _slot(self.scalars, "step_size")
+
+    @property
+    def step_size_bar(self):
+        return _slot(self.scalars, "step_size_bar")
+
+    @property
+    def n_steps(self):
+        return _slot(self.scalars, "n_steps").astype(jnp.int32)
+
+    @property
+    def mean_tree_accept(self):
+        return _slot(self.scalars, "mean_tree_accept")
+
+    @property
+    def index_in_trajectory(self):
+        return _slot(self.scalars, "index_in_trajectory").astype(jnp.int32)
+
+    @property
+    def fisher_distance(self):
+        return _slot(self.scalars, "fisher_distance")
 
 
 def init_buffers(cfg: NutsConfig, chunk_len: int, dim: int, dtype,
@@ -182,28 +243,16 @@ def init_buffers(cfg: NutsConfig, chunk_len: int, dim: int, dtype,
     """
     lead = () if n_chains is None else (n_chains,)
     f = lambda *shape: jnp.full(lead + shape, jnp.nan, dtype)
-    i = lambda *shape: jnp.zeros(lead + shape, jnp.int32)
-    b = lambda *shape: jnp.zeros(lead + shape, bool)
     L = chunk_len
     return ChunkBuffers(
         position=f(L, dim),
-        logp=f(L),
-        energy=f(L),
-        depth=i(L),
-        maxdepth_reached=b(L),
-        diverging=b(L),
-        step_size=f(L),
-        step_size_bar=f(L),
-        n_steps=i(L),
-        mean_tree_accept=f(L),
-        index_in_trajectory=i(L),
+        scalars=f(L, N_SCALAR_SLOTS),
         gradient=f(L, dim) if cfg.store_gradient else None,
         mass_matrix_inv=f(L, dim) if cfg.store_mass_matrix else None,
         divergence_start=f(L, dim) if cfg.store_divergences else None,
         divergence_end=f(L, dim) if cfg.store_divergences else None,
         divergence_momentum=f(L, dim) if cfg.store_divergences else None,
         divergence_start_gradient=f(L, dim) if cfg.store_divergences else None,
-        fisher_distance=f(L) if cfg.flow is not None else None,
         transformed_position=(
             f(L, dim) if cfg.flow is not None and cfg.store_transformed else None
         ),
@@ -561,26 +610,33 @@ def machine_step(
         # in base space a perfect flow has score(z) = -z
         fisher_dist = jnp.mean(jnp.square(prop_z + prop_g))
     else:
-        fisher_dist = None
+        fisher_dist = jnp.zeros((), dtype)
+    scalar_row = jnp.zeros((N_SCALAR_SLOTS,), dtype)
+    for name, value in (
+        ("logp", prop_logp),
+        ("energy", prop_energy),
+        ("depth", depth_stat),
+        ("maxdepth_reached", md_reached),
+        ("diverging", diverging),
+        ("step_size", s.eps),
+        ("step_size_bar", step_size_bar),
+        ("n_steps", n_leaves),
+        ("mean_tree_accept", accept_mean),
+        ("index_in_trajectory", prop_idx),
+        ("fisher_distance", fisher_dist),
+    ):
+        scalar_row = scalar_row.at[SCALAR_SLOTS[name]].set(
+            jnp.asarray(value).astype(dtype)
+        )
     bufs = ChunkBuffers(
         position=write(bufs.position, prop_z),
-        logp=write(bufs.logp, prop_logp),
-        energy=write(bufs.energy, prop_energy),
-        depth=write(bufs.depth, depth_stat),
-        maxdepth_reached=write(bufs.maxdepth_reached, md_reached),
-        diverging=write(bufs.diverging, diverging),
-        step_size=write(bufs.step_size, s.eps),
-        step_size_bar=write(bufs.step_size_bar, step_size_bar),
-        n_steps=write(bufs.n_steps, n_leaves),
-        mean_tree_accept=write(bufs.mean_tree_accept, accept_mean),
-        index_in_trajectory=write(bufs.index_in_trajectory, prop_idx),
+        scalars=write(bufs.scalars, scalar_row),
         gradient=write(bufs.gradient, prop_g),
         mass_matrix_inv=write(bufs.mass_matrix_inv, s.adapt.inv_mass),
         divergence_start=write(bufs.divergence_start, div_start),
         divergence_end=write(bufs.divergence_end, div_end),
         divergence_momentum=write(bufs.divergence_momentum, div_mom),
         divergence_start_gradient=write(bufs.divergence_start_gradient, div_start_grad),
-        fisher_distance=write(bufs.fisher_distance, fisher_dist),
         transformed_position=write(bufs.transformed_position, prop_z),
         transformed_gradient=write(bufs.transformed_gradient, prop_g),
         transformation_mu=(

@@ -381,12 +381,16 @@ def make_chunk_runner(model: ModelDef, cfg: NutsConfig, chunk_len: int, dtype,
             fcfg = cfg.flow
 
             def convert(bufs_one, adapt_one):
+                from .nuts import SCALAR_SLOTS
+
                 xs, logdets = jax.vmap(
                     lambda z: flow_forward(fcfg, adapt_one.flow, z)
                 )(bufs_one.position)
-                new = bufs_one._replace(
-                    position=xs, logp=bufs_one.logp - logdets
+                # model-space logp = logp_z - logdet
+                scalars = bufs_one.scalars.at[:, SCALAR_SLOTS["logp"]].add(
+                    -logdets
                 )
+                new = bufs_one._replace(position=xs, scalars=scalars)
                 if bufs_one.gradient is not None:
                     def push(x, gz):
                         def inv_logdet(xx):

@@ -559,6 +559,8 @@ class _BackgroundSampler:
         for name, value in bufs._asdict().items():
             if value is None or name in ("position", "scalars"):
                 continue
+            if name == "gradient" and not self._settings.store_gradient:
+                continue  # allocated for adaptation, not requested by user
             arr = cut(value)
             if name in ("diverging", "maxdepth_reached"):
                 arr = arr.astype(bool)

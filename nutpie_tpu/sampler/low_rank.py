@@ -70,27 +70,23 @@ def lr_sample_momentum(inv_mass: jax.Array, metric: LowRankMetric,
 def estimate_low_rank(
     draws: jax.Array,     # [W, dim] window draws
     grads: jax.Array,     # [W, dim] window gradients
-    count: jax.Array,     # number of valid rows (<= W)
+    valid: jax.Array,     # [W] bool validity mask
     inv_mass: jax.Array,  # [dim] diagonal estimate
     max_rank: int,
     eigval_cutoff: float,
     gamma: float,
 ) -> LowRankMetric:
-    """Compute the low-rank correction from one adaptation window.
-
-    Rows past ``count`` must be zero-filled; they contribute nothing to the
-    covariances (the mean subtraction uses ``count``).
-    """
+    """Compute the low-rank correction from one adaptation window."""
     W, dim = draws.shape
     dtype = draws.dtype
-    cnt = jnp.maximum(count.astype(dtype), 2.0)
-    valid = (jnp.arange(W) < count)[:, None].astype(dtype)
+    validf = valid.astype(dtype)[:, None]
+    cnt = jnp.maximum(jnp.sum(validf), 2.0)
 
     s = jnp.sqrt(inv_mass)
-    X = (draws / s[None, :]) * valid
-    G = (grads * s[None, :]) * valid
-    X = (X - jnp.sum(X, 0) / cnt) * valid
-    G = (G - jnp.sum(G, 0) / cnt) * valid
+    X = jnp.nan_to_num(draws / s[None, :]) * validf
+    G = jnp.nan_to_num(grads * s[None, :]) * validf
+    X = (X - jnp.sum(X, 0) / cnt) * validf
+    G = (G - jnp.sum(G, 0) / cnt) * validf
 
     # orthonormal basis of the combined span (rank <= 2W)
     M = jnp.concatenate([X, G], axis=0)          # [2W, dim]

@@ -59,10 +59,13 @@ class LowRankConfig:
 
 
 class LowRankAdaptState(NamedTuple):
-    """Diag adaptation state + low-rank window and factors.
+    """Diag adaptation state + low-rank factors.
 
     Field names overlap :class:`DiagAdaptState` so the shared update code
-    works on both via ``_replace``.
+    works on both via ``_replace``.  The low-rank factors recompute at
+    chunk boundaries directly from the chunk's draw/gradient buffers
+    (chunks are aligned to the mass-matrix switch cadence), so no per-step
+    window bookkeeping exists in the hot loop.
     """
 
     da: object
@@ -72,9 +75,6 @@ class LowRankAdaptState(NamedTuple):
     grads_cur: object
     draws_bg: object
     grads_bg: object
-    win_draws: jax.Array   # [window, dim]
-    win_grads: jax.Array   # [window, dim]
-    win_count: jax.Array   # i32
     metric: LowRankMetric
 
 
@@ -83,8 +83,9 @@ class FlowAdaptState(NamedTuple):
 
     NUTS runs in the flow's base space with an identity mass matrix
     (``inv_mass`` stays at ones; the flow absorbs all geometry).  The
-    window ring buffer collects (z, grad_z) training pairs; the flow
-    trains at chunk boundaries (see ``run.py``).
+    training window of (z, grad_z) pairs is maintained by *bulk rolls at
+    chunk boundaries* from the chunk's draw buffers -- per-step window
+    writes would cost O(window*dim) per leapfrog on TPU.
     """
 
     da: object
@@ -94,9 +95,9 @@ class FlowAdaptState(NamedTuple):
     grads_cur: object
     draws_bg: object
     grads_bg: object
-    win_draws: jax.Array   # [window, dim] base-space positions
+    win_draws: jax.Array   # [window, dim] base-space positions (newest last)
     win_grads: jax.Array   # [window, dim] base-space gradients
-    win_count: jax.Array   # i32, grows without bound (ring indexing)
+    win_valid: jax.Array   # [window] bool
     flow: FlowParams
     flow_updates: jax.Array  # i32: number of flow updates performed
 
@@ -244,10 +245,15 @@ def init_buffers(cfg: NutsConfig, chunk_len: int, dim: int, dtype,
     lead = () if n_chains is None else (n_chains,)
     f = lambda *shape: jnp.full(lead + shape, jnp.nan, dtype)
     L = chunk_len
+    # low-rank and flow adaptation consume the chunk's gradients at chunk
+    # boundaries, so the gradient buffer is allocated for them too
+    need_gradient = (
+        cfg.store_gradient or cfg.flow is not None or cfg.low_rank is not None
+    )
     return ChunkBuffers(
         position=f(L, dim),
         scalars=f(L, N_SCALAR_SLOTS),
-        gradient=f(L, dim) if cfg.store_gradient else None,
+        gradient=f(L, dim) if need_gradient else None,
         mass_matrix_inv=f(L, dim) if cfg.store_mass_matrix else None,
         divergence_start=f(L, dim) if cfg.store_divergences else None,
         divergence_end=f(L, dim) if cfg.store_divergences else None,
@@ -357,12 +363,8 @@ def init_machine_state(
     zi = jnp.zeros((), jnp.int32)
     adapt = diag_adapt_init(cfg.adapt, gradient, dtype)
     if cfg.low_rank is not None:
-        W = cfg.low_rank.window
         adapt = LowRankAdaptState(
             **adapt._asdict(),
-            win_draws=jnp.zeros((W, dim), dtype),
-            win_grads=jnp.zeros((W, dim), dtype),
-            win_count=zi,
             metric=identity_metric(dim, cfg.low_rank.max_rank, dtype),
         )
     elif cfg.flow is not None:
@@ -371,7 +373,7 @@ def init_machine_state(
             **{**adapt._asdict(), "inv_mass": jnp.ones((dim,), dtype)},
             win_draws=jnp.zeros((W, dim), dtype),
             win_grads=jnp.zeros((W, dim), dtype),
-            win_count=zi,
+            win_valid=jnp.zeros((W,), bool),
             flow=init_flow_params(cfg.flow, dim, chain_key, dtype),
             flow_updates=zi,
         )
@@ -654,62 +656,9 @@ def machine_step(
         cfg.adapt, sched, s.adapt, s.draw_idx, prop_z, prop_g, accept_mean,
         diverging,
     )
-    _DIAG_FIELDS = (
-        "da", "adam", "inv_mass", "draws_cur", "grads_cur",
-        "draws_bg", "grads_bg",
-    )
-    if cfg.low_rank is None and cfg.flow is None:
-        adapt = tree_where(draw_done & tuning, adapt_new, s.adapt)
-    elif cfg.flow is not None:
-        # flow mode: ring buffer of (z, grad_z) training pairs; flow params
-        # themselves update at chunk boundaries (run.py)
-        diag_sel = {
-            name: tree_where(
-                draw_done & tuning,
-                getattr(adapt_new, name),
-                getattr(s.adapt, name),
-            )
-            for name in _DIAG_FIELDS
-        }
-        W = cfg.flow.window
-        ok_draw = draw_done & tuning & ~diverging
-        slot = s.adapt.win_count % W
-        win_draws = masked_row_write(s.adapt.win_draws, slot, ok_draw, prop_z)
-        win_grads = masked_row_write(s.adapt.win_grads, slot, ok_draw, prop_g)
-        win_count = jnp.where(ok_draw, s.adapt.win_count + 1, s.adapt.win_count)
-        adapt = s.adapt._replace(
-            win_draws=win_draws, win_grads=win_grads, win_count=win_count,
-            **diag_sel,
-        )
-    else:
-        # the diag sub-state selects on draw completion; the window buffers
-        # are updated with self-masked scatter writes (O(dim), not O(W*dim))
-        diag_sel = {
-            name: tree_where(
-                draw_done & tuning,
-                getattr(adapt_new, name),
-                getattr(s.adapt, name),
-            )
-            for name in _DIAG_FIELDS
-        }
-        W = cfg.low_rank.window
-        frozen = s.draw_idx >= sched.freeze_start
-        freq = jnp.where(
-            s.draw_idx < sched.early_end,
-            cfg.adapt.early_switch_freq, cfg.adapt.switch_freq,
-        )
-        switch = (~frozen) & (s.draw_idx > 0) & ((s.draw_idx + 1) % freq == 0)
-        ok_draw = draw_done & tuning & ~diverging
-        write_w = ok_draw & (s.adapt.win_count < W)
-        slot = jnp.clip(s.adapt.win_count, 0, W - 1)
-        win_draws = masked_row_write(s.adapt.win_draws, slot, write_w, prop_z)
-        win_grads = masked_row_write(s.adapt.win_grads, slot, write_w, prop_g)
-        win_count = jnp.where(write_w, s.adapt.win_count + 1, s.adapt.win_count)
-        win_count = jnp.where(ok_draw & switch, 0, win_count)
-        adapt = s.adapt._replace(
-            win_draws=win_draws, win_grads=win_grads, win_count=win_count,
-            **diag_sel,
-        )
+    # window data for low-rank/flow training comes from the chunk's draw
+    # buffers at chunk boundaries (run.py) -- no per-step window writes
+    adapt = tree_where(draw_done & tuning, adapt_new, s.adapt)
     # at the end of tuning, freeze the step size at its averaged value
     end_of_tuning = draw_done & (s.draw_idx == sched.num_tune - 1)
     adapt = adapt._replace(

@@ -215,117 +215,6 @@ def make_chunk_runner(model: ModelDef, cfg: NutsConfig, chunk_len: int, dtype,
         if pool_mass_matrix:
             states = states._replace(adapt=pool_adapt_state(states.adapt))
 
-        if cfg.low_rank is not None:
-            # recompute the low-rank factors from the current window at the
-            # chunk boundary (all chains sit at a draw boundary here); the
-            # expensive QR/eigh runs once per chunk, not per leapfrog
-            from .low_rank import estimate_low_rank
-            from .state import tree_where as _tw
-
-            lr = cfg.low_rank
-
-            def update_metric(adapt, draw_idx):
-                metric_new = estimate_low_rank(
-                    adapt.win_draws, adapt.win_grads, adapt.win_count,
-                    adapt.inv_mass, lr.max_rank, lr.eigval_cutoff, lr.gamma,
-                )
-                due = (
-                    (draw_idx >= sched.early_end)
-                    & (draw_idx < sched.freeze_start)
-                    & (adapt.win_count >= jnp.minimum(8, lr.window))
-                )
-                metric = _tw(due, metric_new, adapt.metric)
-                return adapt._replace(metric=metric)
-
-            states = states._replace(
-                adapt=jax.vmap(update_metric)(states.adapt, states.draw_idx)
-            )
-
-        if cfg.flow is not None and flow_train:
-            # train the per-chain flows on the windowed (z, grad_z) pairs,
-            # expressed in model space through the current flow; then re-base
-            # every chain's position into the new flow's base space.  All of
-            # this is vmapped over chains -- the whole fleet of flows trains
-            # in one XLA program at each chunk boundary.
-            from ..transforms.flow import (
-                flow_forward,
-                flow_inverse,
-                make_flow_logp,
-                pullback_score,
-                refit_diag,
-                train_flow,
-            )
-            from .state import tree_where as _tw
-
-            fcfg = cfg.flow
-            flow_logp_vg = jax.value_and_grad(make_flow_logp(fcfg, model.logp_fn))
-
-            def update_flow(state: NutsMachineState):
-                adapt = state.adapt
-                W = fcfg.window
-                n_valid = jnp.minimum(adapt.win_count, W)
-                valid = jnp.arange(W) < n_valid
-                due = (
-                    (state.draw_idx < sched.num_tune)
-                    & (n_valid >= jnp.minimum(32, W))
-                )
-
-                # window (z, grad_z) -> model space (x, grad_x) through the
-                # current flow: x = F(z); grad_x = J_F^{-T} grad_z... obtained
-                # by differentiating logp(x) = logp_z(F^{-1}(x)) + logdet via
-                # one vjp through the inverse transform per row.
-                def to_model_space(z, gz):
-                    x, _ = flow_forward(fcfg, adapt.flow, z)
-
-                    def inv_logdet(xx):
-                        zz = flow_inverse(fcfg, adapt.flow, xx)
-                        _, fld = flow_forward(fcfg, adapt.flow, zz)
-                        return zz, -fld
-
-                    _, vjp = jax.vjp(inv_logdet, x)
-                    (gx,) = vjp((gz, jnp.ones((), z.dtype)))
-                    return x, gx
-
-                xs, gxs = jax.vmap(to_model_space)(
-                    adapt.win_draws, adapt.win_grads
-                )
-                xs = jnp.where(valid[:, None], xs, 0.0)
-                gxs = jnp.where(valid[:, None], gxs, 0.0)
-
-                diag_phase = adapt.flow_updates < fcfg.num_diag_updates
-                new_diag = refit_diag(adapt.flow, xs, gxs, valid)
-                trained, _, improved = train_flow(fcfg, adapt.flow, xs, gxs, valid)
-                candidate = _tw(diag_phase, new_diag, trained)
-                accept = due & (diag_phase | improved)
-                new_flow = _tw(accept, candidate, adapt.flow)
-
-                # re-base the chain into the new flow's coordinates
-                x_cur, _ = flow_forward(fcfg, adapt.flow, state.position)
-                z_new = flow_inverse(fcfg, new_flow, x_cur)
-                logp_new, grad_new = jax.value_and_grad(
-                    make_flow_logp(fcfg, model.logp_fn)
-                )(z_new, new_flow)
-                rebase_ok = accept & jnp.isfinite(logp_new) & jnp.all(
-                    jnp.isfinite(grad_new)
-                ) & jnp.all(jnp.isfinite(z_new))
-                new_flow = _tw(rebase_ok, new_flow, adapt.flow)
-                position = jnp.where(rebase_ok, z_new, state.position)
-                gradient = jnp.where(rebase_ok, grad_new, state.gradient)
-                logp = jnp.where(rebase_ok, logp_new, state.logp)
-
-                adapt = adapt._replace(
-                    flow=new_flow,
-                    flow_updates=adapt.flow_updates + due.astype(jnp.int32),
-                    # training pairs from the old coordinates are stale
-                    win_count=jnp.where(rebase_ok, 0, adapt.win_count),
-                )
-                return state._replace(
-                    adapt=adapt, position=position, gradient=gradient,
-                    logp=logp,
-                )
-
-            states = jax.vmap(update_flow)(states)
-
         # per-draw randomness, keyed by absolute draw index
         draw_ids = chunk_start + jnp.arange(chunk_len, dtype=jnp.int32)
 
@@ -373,6 +262,127 @@ def make_chunk_runner(model: ModelDef, cfg: NutsConfig, chunk_len: int, dtype,
 
         states, bufs = jax.lax.while_loop(cond, body, (states, bufs))
 
+        row_ids = jnp.arange(chunk_len, dtype=jnp.int32)
+        # the chunk's buffers were produced under the *current* flow; keep it
+        # for the model-space conversion even after the flow updates below
+        adapt_of_chunk = states.adapt
+
+        if cfg.low_rank is not None:
+            # recompute the low-rank factors from this chunk's draws (chunks
+            # are aligned to the mass-matrix switch cadence); the expensive
+            # QR/eigh runs once per chunk, not per leapfrog
+            from .low_rank import estimate_low_rank
+            from .state import tree_where as _tw
+
+            lr = cfg.low_rank
+
+            def update_metric(state_one, bufs_one):
+                adapt = state_one.adapt
+                valid = (row_ids < limit) & (~bufs_one.diverging)
+                metric_new = estimate_low_rank(
+                    bufs_one.position, bufs_one.gradient, valid,
+                    adapt.inv_mass, lr.max_rank, lr.eigval_cutoff, lr.gamma,
+                )
+                end = chunk_start + limit
+                due = (
+                    (end > sched.early_end)
+                    & (end <= sched.freeze_start)
+                    & (jnp.sum(valid) >= 8)
+                )
+                metric = _tw(due, metric_new, adapt.metric)
+                return state_one._replace(adapt=adapt._replace(metric=metric))
+
+            states = jax.vmap(update_metric)(states, bufs)
+
+        if cfg.flow is not None and flow_train:
+            # roll this chunk's (z, grad_z) draws into the training window,
+            # train the per-chain flows (expressed in model space through the
+            # current flow), then re-base chains into the new flow's base
+            # space.  All vmapped over chains: the whole fleet of flows
+            # trains in one XLA program per chunk boundary.
+            from ..transforms.flow import (
+                flow_forward,
+                flow_inverse,
+                make_flow_logp,
+                refit_diag,
+                train_flow,
+            )
+            from .state import tree_where as _tw
+
+            fcfg = cfg.flow
+
+            def update_flow(state: NutsMachineState, bufs_one):
+                adapt = state.adapt
+                W = fcfg.window
+                rows_ok = (row_ids < limit) & (~bufs_one.diverging)
+                win_draws = jnp.concatenate(
+                    [adapt.win_draws, jnp.nan_to_num(bufs_one.position)], 0
+                )[-W:]
+                win_grads = jnp.concatenate(
+                    [adapt.win_grads, jnp.nan_to_num(bufs_one.gradient)], 0
+                )[-W:]
+                valid = jnp.concatenate([adapt.win_valid, rows_ok], 0)[-W:]
+                n_valid = jnp.sum(valid)
+                due = (
+                    (chunk_start < sched.num_tune)
+                    & (n_valid >= jnp.minimum(32, W))
+                )
+
+                # window (z, grad_z) -> model space (x, grad_x) through the
+                # current flow: one vjp through the inverse transform per row
+                def to_model_space(z, gz):
+                    x, _ = flow_forward(fcfg, adapt.flow, z)
+
+                    def inv_logdet(xx):
+                        zz = flow_inverse(fcfg, adapt.flow, xx)
+                        _, fld = flow_forward(fcfg, adapt.flow, zz)
+                        return zz, -fld
+
+                    _, vjp = jax.vjp(inv_logdet, x)
+                    (gx,) = vjp((gz, jnp.ones((), z.dtype)))
+                    return x, gx
+
+                xs, gxs = jax.vmap(to_model_space)(win_draws, win_grads)
+                xs = jnp.where(valid[:, None], xs, 0.0)
+                gxs = jnp.where(valid[:, None], gxs, 0.0)
+
+                diag_phase = adapt.flow_updates < fcfg.num_diag_updates
+                new_diag = refit_diag(adapt.flow, xs, gxs, valid)
+                trained, _, improved = train_flow(fcfg, adapt.flow, xs, gxs, valid)
+                candidate = _tw(diag_phase, new_diag, trained)
+                accept = due & (diag_phase | improved)
+                new_flow = _tw(accept, candidate, adapt.flow)
+
+                # re-base the chain into the new flow's coordinates
+                x_cur, _ = flow_forward(fcfg, adapt.flow, state.position)
+                z_new = flow_inverse(fcfg, new_flow, x_cur)
+                logp_new, grad_new = jax.value_and_grad(
+                    make_flow_logp(fcfg, model.logp_fn)
+                )(z_new, new_flow)
+                rebase_ok = accept & jnp.isfinite(logp_new) & jnp.all(
+                    jnp.isfinite(grad_new)
+                ) & jnp.all(jnp.isfinite(z_new))
+                new_flow = _tw(rebase_ok, new_flow, adapt.flow)
+                position = jnp.where(rebase_ok, z_new, state.position)
+                gradient = jnp.where(rebase_ok, grad_new, state.gradient)
+                logp = jnp.where(rebase_ok, logp_new, state.logp)
+
+                adapt = adapt._replace(
+                    flow=new_flow,
+                    flow_updates=adapt.flow_updates + due.astype(jnp.int32),
+                    win_draws=win_draws,
+                    win_grads=win_grads,
+                    # training pairs in old coordinates are stale after a
+                    # flow change
+                    win_valid=valid & ~rebase_ok,
+                )
+                return state._replace(
+                    adapt=adapt, position=position, gradient=gradient,
+                    logp=logp,
+                )
+
+            states = jax.vmap(update_flow)(states, bufs)
+
         if cfg.flow is not None:
             # express the chunk's draws in model space: x = F(z), model logp
             # = logp_z - logdet, gradient pushed forward through the flow
@@ -406,7 +416,7 @@ def make_chunk_runner(model: ModelDef, cfg: NutsConfig, chunk_len: int, dtype,
                     new = new._replace(gradient=gxs)
                 return new
 
-            bufs = jax.vmap(convert)(bufs, states.adapt)
+            bufs = jax.vmap(convert)(bufs, adapt_of_chunk)
         return states, bufs
 
     return jax.jit(run_chunk, donate_argnums=(0,))

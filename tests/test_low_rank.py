@@ -61,7 +61,7 @@ def test_estimate_recovers_covariance():
     draws = (chol @ rng.standard_normal((dim, W))).T
     grads = -(draws @ prec)
     metric = estimate_low_rank(
-        jnp.asarray(draws), jnp.asarray(grads), jnp.asarray(W),
+        jnp.asarray(draws), jnp.asarray(grads), jnp.ones(W, bool),
         jnp.ones(dim), max_rank=4, eigval_cutoff=2.0, gamma=1e-8,
     )
     # implied M^{-1} should approximate cov: check the dominant eigvec scale

@@ -56,6 +56,9 @@ def main() -> None:
 
     init_fn = make_init_fn(model, cfg, dtype)
     runner = make_chunk_runner(model, cfg, CHUNK, dtype, unroll=4)
+    runner_frozen = make_chunk_runner(
+        model, cfg, CHUNK, dtype, unroll=4, adapt_frozen=True
+    )
 
     # monitored columns: intercept, both log-sds, log-sigma, spread of
     # county effects (the worst mixers are the hierarchical scales)
@@ -74,7 +77,8 @@ def main() -> None:
         start = 0
         while start < total:
             limit = min(CHUNK, total - start)
-            states, bufs = runner(states, start, limit, sched)
+            active = runner if start < TUNE else runner_frozen
+            states, bufs = active(states, start, limit, sched)
             if start + limit > TUNE:
                 keep_from = max(0, TUNE - start)
                 post_chunks.append(bufs.position[:, keep_from:limit])

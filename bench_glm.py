@@ -40,6 +40,9 @@ def main() -> None:
 
     init_fn = make_init_fn(model, cfg, dtype)
     runner = make_chunk_runner(model, cfg, CHUNK, dtype, unroll=4)
+    runner_frozen = make_chunk_runner(
+        model, cfg, CHUNK, dtype, unroll=4, adapt_frozen=True
+    )
     cols = jnp.arange(0, DIM, max(1, DIM // 24), dtype=jnp.int32)
 
     def run(seed):
@@ -53,7 +56,8 @@ def main() -> None:
         start = 0
         while start < total:
             limit = min(CHUNK, total - start)
-            states, bufs = runner(states, start, limit, sched)
+            active = runner if start < TUNE else runner_frozen
+            states, bufs = active(states, start, limit, sched)
             if start + limit > TUNE:
                 post.append(bufs.position[:, max(0, TUNE - start):limit])
             n_steps += int(jnp.sum(bufs.n_steps))

@@ -131,12 +131,12 @@ _RUNNER_CACHE: dict = {}
 
 def _cached_chunk_runner(model: ModelDef, cfg: NutsConfig, chunk_len: int,
                          dtype, n_chains: int, pool: bool,
-                         flow_train: bool = True):
+                         flow_train: bool = True, adapt_frozen: bool = False):
     import weakref
 
     key = (
         id(model), cfg, chunk_len, jnp.dtype(dtype).name, n_chains, pool,
-        flow_train,
+        flow_train, adapt_frozen,
     )
     hit = _RUNNER_CACHE.get(key)
     if hit is not None:
@@ -151,7 +151,7 @@ def _cached_chunk_runner(model: ModelDef, cfg: NutsConfig, chunk_len: int,
         pass
     runner = make_chunk_runner(
         model, cfg, chunk_len, dtype, pool_mass_matrix=pool,
-        flow_train=flow_train, unroll=unroll,
+        flow_train=flow_train, unroll=unroll, adapt_frozen=adapt_frozen,
     )
     if len(_RUNNER_CACHE) > 64:
         _RUNNER_CACHE.clear()
@@ -380,14 +380,13 @@ class _BackgroundSampler:
                 model, cfg, self._chunk_len, dtype, self._n_chains,
                 self._settings.pool_mass_matrix, flow_train=True,
             )
-            if getattr(cfg, "flow", None) is not None:
-                # frozen-flow variant for post-warmup chunks
-                runner_sampling = _cached_chunk_runner(
-                    model, cfg, self._chunk_len, dtype, self._n_chains,
-                    self._settings.pool_mass_matrix, flow_train=False,
-                )
-            else:
-                runner_sampling = runner
+            # frozen variant for post-warmup chunks: no flow training and no
+            # per-draw adaptation update compiled in
+            runner_sampling = _cached_chunk_runner(
+                model, cfg, self._chunk_len, dtype, self._n_chains,
+                self._settings.pool_mass_matrix, flow_train=False,
+                adapt_frozen=True,
+            )
         if model.expand_needs_rng:
             # per-(chain, draw) keys so generated-quantities RNG is
             # deterministic and chain/draw-independent (the reference gives

@@ -427,8 +427,14 @@ def machine_step(
     limit: jax.Array,       # scalar i32: draws to produce this chunk (dynamic)
     s: NutsMachineState,
     bufs: ChunkBuffers,
+    adapt_frozen: bool = False,
 ) -> tuple[NutsMachineState, ChunkBuffers]:
-    """Advance one chain by one leapfrog step (vmapped over chains)."""
+    """Advance one chain by one leapfrog step (vmapped over chains).
+
+    ``adapt_frozen=True`` compiles out the warmup-adaptation update entirely
+    (used for post-warmup chunks: the adaptation state is a large fraction
+    of per-step memory traffic).
+    """
     dtype = s.position.dtype
     active = ~s.done
     D = s.ckpt_p.shape[0]
@@ -652,20 +658,25 @@ def machine_step(
     )
 
     # adaptation (tuning draws only)
-    adapt_new = diag_adapt_update(
-        cfg.adapt, sched, s.adapt, s.draw_idx, prop_z, prop_g, accept_mean,
-        diverging,
-    )
-    # window data for low-rank/flow training comes from the chunk's draw
-    # buffers at chunk boundaries (run.py) -- no per-step window writes
-    adapt = tree_where(draw_done & tuning, adapt_new, s.adapt)
-    # at the end of tuning, freeze the step size at its averaged value
-    end_of_tuning = draw_done & (s.draw_idx == sched.num_tune - 1)
-    adapt = adapt._replace(
-        da=adapt.da._replace(
-            log_step=jnp.where(end_of_tuning, adapt.da.log_step_bar, adapt.da.log_step)
+    if adapt_frozen:
+        adapt = s.adapt
+    else:
+        adapt_new = diag_adapt_update(
+            cfg.adapt, sched, s.adapt, s.draw_idx, prop_z, prop_g, accept_mean,
+            diverging,
         )
-    )
+        # window data for low-rank/flow training comes from the chunk's draw
+        # buffers at chunk boundaries (run.py) -- no per-step window writes
+        adapt = tree_where(draw_done & tuning, adapt_new, s.adapt)
+        # at the end of tuning, freeze the step size at its averaged value
+        end_of_tuning = draw_done & (s.draw_idx == sched.num_tune - 1)
+        adapt = adapt._replace(
+            da=adapt.da._replace(
+                log_step=jnp.where(
+                    end_of_tuning, adapt.da.log_step_bar, adapt.da.log_step
+                )
+            )
+        )
 
     divergence_count = _w(draw_done & diverging, s.divergence_count + 1, s.divergence_count)
     draw_idx = _w(draw_done, s.draw_idx + 1, s.draw_idx)

@@ -183,11 +183,14 @@ def init_chains(
 
 def make_chunk_runner(model: ModelDef, cfg: NutsConfig, chunk_len: int, dtype,
                       pool_mass_matrix: bool = False, flow_train: bool = True,
-                      unroll: int = 1):
+                      unroll: int = 1, adapt_frozen: bool = False):
     """Build the jitted function running one chunk of draws for all chains.
 
     ``flow_train=False`` compiles a variant without the flow-training stage
     (used for post-warmup chunks, where the flow is frozen).
+    ``adapt_frozen=True`` additionally compiles out the per-draw adaptation
+    update (post-warmup chunks only; adaptation state is a large share of
+    per-step memory traffic).
     ``unroll`` applies the machine step N times per while-loop iteration
     (the step is fully masked, so over-stepping a finished chain is a
     no-op; reduces loop-bookkeeping overhead).
@@ -244,7 +247,8 @@ def make_chunk_runner(model: ModelDef, cfg: NutsConfig, chunk_len: int, dtype,
         )
 
         step = jax.vmap(
-            partial(machine_step, cfg, logp_and_grad),
+            partial(machine_step, cfg, logp_and_grad,
+                    adapt_frozen=adapt_frozen),
             in_axes=(None, 0, 0, None, None, 0, 0),
         )
 

@@ -81,12 +81,16 @@ def main() -> None:
             states, bufs = active(states, start, limit, sched)
             if start + limit > TUNE:
                 keep_from = max(0, TUNE - start)
-                post_chunks.append(bufs.position[:, keep_from:limit])
+                # keep only the monitored columns on device (full buffers
+                # would exhaust HBM at large chains x draws)
+                post_chunks.append(bufs.position[:, keep_from:limit, cols])
             n_steps_total += int(jnp.sum(bufs.n_steps))  # scalar transfer
             divergences += int(jnp.sum(bufs.diverging))
             start += limit
         posterior = jnp.concatenate(post_chunks, axis=1)
-        min_ess = min_ess_over_columns(posterior, cols)
+        min_ess = min_ess_over_columns(
+            posterior, jnp.arange(cols.shape[0], dtype=jnp.int32)
+        )
         return float(min_ess), n_steps_total, divergences
 
     # warmup: compiles init, runner, and the ESS program

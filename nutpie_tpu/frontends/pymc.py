@@ -44,7 +44,6 @@ def _require_pymc():
 
 def _jaxify(inputs, outputs):
     """Lower a PyTensor graph to a traceable JAX callable."""
-    import pytensor.tensor as pt
     from pytensor.compile.mode import get_mode
     from pytensor.graph.fg import FunctionGraph
     from pytensor.graph.rewriting.basic import GraphRewriter

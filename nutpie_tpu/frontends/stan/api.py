@@ -6,8 +6,6 @@ import dataclasses
 from pathlib import Path
 from typing import Any, Optional
 
-import numpy as np
-
 from ...model import CompiledModel, ModelDef, make_model
 from .errors import StanRuntimeError
 from .interpreter import StanInterpreter

@@ -16,7 +16,7 @@ recoverable divergence, matching the reference's error protocol
 from __future__ import annotations
 
 import math
-from typing import Any, Optional
+from typing import Any
 
 import jax
 import jax.numpy as jnp

@@ -41,7 +41,7 @@ from .low_rank import (
     lr_velocity,
     lr_velocity_rows,
 )
-from .state import DiagAdaptState, NutsMachineState, tree_where
+from .state import NutsMachineState, tree_where
 from ..ops.row_write import masked_row_write
 from ..transforms.flow import FlowConfig, FlowParams, init_flow_params
 

@@ -22,7 +22,6 @@ are unaffected.
 from __future__ import annotations
 
 from functools import partial
-from typing import Optional
 
 import jax
 import jax.numpy as jnp
@@ -30,7 +29,6 @@ import jax.numpy as jnp
 from ..model import ModelDef
 from .adapt import Schedule, pool_adapt_state
 from .nuts import (
-    ChunkBuffers,
     NutsConfig,
     init_buffers,
     init_machine_state,

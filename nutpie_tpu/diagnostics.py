@@ -11,6 +11,7 @@ from __future__ import annotations
 
 import numpy as np
 from scipy.special import ndtri
+from scipy.stats import rankdata
 
 
 def _split_chains(x: np.ndarray) -> np.ndarray:
@@ -21,9 +22,11 @@ def _split_chains(x: np.ndarray) -> np.ndarray:
 
 
 def _rank_normalize(x: np.ndarray) -> np.ndarray:
+    # Average ranks for ties (Vehtari et al. 2021 / ArviZ definition) —
+    # ordinal ranks deviate on integer-valued series like tree depth.
     shape = x.shape
     flat = x.reshape(-1)
-    ranks = np.argsort(np.argsort(flat)) + 1.0
+    ranks = rankdata(flat, method="average")
     z = ndtri((ranks - 0.375) / (flat.size + 0.25))
     return z.reshape(shape)
 

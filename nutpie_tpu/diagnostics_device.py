@@ -24,9 +24,14 @@ def _split_chains(x: jax.Array) -> jax.Array:
 
 
 def _rank_normalize(x: jax.Array) -> jax.Array:
+    # Average ranks for ties (matches scipy rankdata(method="average") used
+    # by the host implementation): rank(x) = ((#<x) + (#<=x) + 1) / 2.
     shape = x.shape
     flat = x.reshape(-1)
-    ranks = jnp.argsort(jnp.argsort(flat)) + 1.0
+    sorted_v = jnp.sort(flat)
+    lo = jnp.searchsorted(sorted_v, flat, side="left")
+    hi = jnp.searchsorted(sorted_v, flat, side="right")
+    ranks = (lo + hi + 1) * 0.5
     z = ndtri((ranks - 0.375) / (flat.size + 0.25))
     return z.reshape(shape)
 

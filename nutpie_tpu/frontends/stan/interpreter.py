@@ -512,7 +512,17 @@ class StanInterpreter:
             lo_e, up_e = stmt.truncation
             lcdf = LCDFS.get(name)
             lccdf = LCCDFS.get(name)
-            count = max(int(np.prod(np.shape(jnp.asarray(y)))), 1)
+
+            def trunc_sum(lz):
+                # One normalization term per (y, args) broadcast element. A
+                # scalar lz with vector y contributes len(y)*lz; a vector lz
+                # (per-observation args) is summed exactly once per element.
+                lz = jnp.asarray(lz)
+                shape = jnp.broadcast_shapes(
+                    np.shape(jnp.asarray(y)), jnp.shape(lz)
+                )
+                return jnp.sum(jnp.broadcast_to(lz, shape))
+
             if lo_e is not None and up_e is not None:
                 if lcdf is None:
                     raise StanCompileError(
@@ -524,7 +534,7 @@ class StanInterpreter:
                 lz = jnp.log(
                     jnp.exp(lcdf(up, *args)) - jnp.exp(lcdf(lo, *args))
                 )
-                ctx.target = ctx.target - count * jnp.sum(lz)
+                ctx.target = ctx.target - trunc_sum(lz)
             elif lo_e is not None:
                 if lccdf is None:
                     raise StanCompileError(
@@ -532,7 +542,7 @@ class StanInterpreter:
                         stmt.line, stmt.col,
                     )
                 lo = self.eval_expr(lo_e, env, ctx)
-                ctx.target = ctx.target - count * jnp.sum(lccdf(lo, *args))
+                ctx.target = ctx.target - trunc_sum(lccdf(lo, *args))
             elif up_e is not None:
                 if lcdf is None:
                     raise StanCompileError(
@@ -540,7 +550,7 @@ class StanInterpreter:
                         stmt.line, stmt.col,
                     )
                 up = self.eval_expr(up_e, env, ctx)
-                ctx.target = ctx.target - count * jnp.sum(lcdf(up, *args))
+                ctx.target = ctx.target - trunc_sum(lcdf(up, *args))
 
     # ----------------------------------------------------------- expressions
 

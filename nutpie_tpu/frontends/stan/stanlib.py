@@ -490,11 +490,15 @@ def _append_row(a, b):
 
 
 def _append_col(a, b):
+    # Stan treats (column) vectors as n x 1 in append_col: two length-n
+    # vectors give an (n, 2) matrix, and matrix+vector adds one column.
     a, b = jnp.asarray(a), jnp.asarray(b)
-    if a.ndim <= 1 and b.ndim <= 1:
-        return jnp.concatenate(
-            [jnp.atleast_2d(a), jnp.atleast_2d(b)], axis=1
-        )
+    if a.ndim == 1 and b.ndim == 1:
+        return jnp.stack([a, b], axis=1)
+    if a.ndim == 1:
+        a = a[:, None]
+    if b.ndim == 1:
+        b = b[:, None]
     return jnp.concatenate([jnp.atleast_2d(a), jnp.atleast_2d(b)], axis=1)
 
 

@@ -224,7 +224,13 @@ def corr_matrix(k: int):
 
     def forward(u):
         L, logj = chol_fwd(u)
-        return L @ L.T, logj  # jacobian of LL^T for unit-diag handled in chol
+        # Change of variables L -> LL^T for a unit-row-norm Cholesky factor:
+        # log|J| = sum_j (K-1-j) * log L_jj (Stan reference manual, corr_matrix
+        # transform), on top of the cholesky_factor_corr Jacobian.
+        diag = jnp.diagonal(L)
+        weights = jnp.arange(k - 1, -1, -1, dtype=u.dtype)
+        logj = logj + jnp.sum(weights * jnp.log(diag))
+        return L @ L.T, logj
 
     return n_unc, forward
 

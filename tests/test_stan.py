@@ -258,6 +258,50 @@ def test_truncation():
     assert abs(x.mean() - 0.7979) < 0.07
 
 
+def test_truncation_vector_args_normalization():
+    # Truncation with per-observation parameters must subtract one lccdf
+    # term per element, not count * sum(lccdf) (round-1 advisor finding:
+    # the old code double-counted by (N-1)*sum_i logPhi(mu_i)).
+    from scipy.stats import norm
+
+    mu = np.array([-0.3, 0.4, 1.2])
+    code = """
+    data { int N; vector[N] mu; }
+    parameters { vector<lower=0>[N] y; }
+    model { y ~ normal(mu, 1) T[0, ]; }
+    """
+    compiled = compile_stan_model(code=code).with_data(N=3, mu=mu)
+    interp = compiled._interpreter()
+    u = np.array([0.1, -0.2, 0.3])
+    y = np.exp(u)
+    expected = (
+        norm.logpdf(y, mu, 1.0).sum()
+        - np.log(norm.sf(0.0, mu, 1.0)).sum()
+        + u.sum()  # lower-bound jacobian
+    )
+    np.testing.assert_allclose(float(interp.logp(u)), expected, rtol=1e-6)
+
+
+def test_truncation_scalar_args_vector_obs():
+    # Scalar-arg truncation over a vector of observations: N * lz.
+    from scipy.stats import norm
+
+    y = np.array([0.5, 1.0, 2.0])
+    code = """
+    data { int N; vector[N] y; }
+    parameters { real mu; }
+    model { y ~ normal(mu, 1) T[0, ]; }
+    """
+    compiled = compile_stan_model(code=code).with_data(N=3, y=y)
+    interp = compiled._interpreter()
+    u = np.array([0.7])
+    expected = (
+        norm.logpdf(y, u[0], 1.0).sum()
+        - 3.0 * np.log(norm.sf(0.0, u[0], 1.0))
+    )
+    np.testing.assert_allclose(float(interp.logp(u)), expected, rtol=1e-6)
+
+
 def test_unsupported_construct_errors():
     code = """
     parameters { real x; }

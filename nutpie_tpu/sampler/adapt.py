@@ -127,18 +127,33 @@ def dual_avg_update(cfg: AdaptConfig, da: DualAvgState, accept: jax.Array) -> Du
     w = 1.0 / (count + cfg.t0)
     hbar = (1.0 - w) * da.hbar + w * (cfg.target_accept - accept)
     log_step = da.mu - jnp.sqrt(count) / cfg.gamma * hbar
+    # Trust region: cap the per-draw *increase* of the step size.  Right
+    # after a (re)start the first update jumps most of the way to mu, which
+    # with Stan's mu = log(10 eps) spikes the step ~10x and reliably
+    # diverges the next draw (the round-1 radon bench's 26k warmup
+    # divergences all came from this, one per chain per window switch).
+    # Decreases stay unclamped: shrinking out of a divergence is urgent.
+    log_step = jnp.minimum(log_step, da.log_step + jnp.log(2.0))
     log_step = jnp.minimum(log_step, jnp.log(cfg.max_step_size))
     eta = count ** (-cfg.kappa)
     log_step_bar = eta * log_step + (1.0 - eta) * da.log_step_bar
     return DualAvgState(log_step, log_step_bar, hbar, da.mu, count)
 
-def dual_avg_restart(da: DualAvgState) -> DualAvgState:
-    """Soft restart after a mass-matrix switch: re-center on current step."""
+def dual_avg_restart(da: DualAvgState, shift=0.0) -> DualAvgState:
+    """Soft restart after a mass-matrix switch.
+
+    ``shift`` (<= 0) is a stability correction applied to the current step
+    when the metric jumped: leapfrog frequencies scale with sqrt(inv_mass),
+    so a coordinate whose inv_mass grew by r needs eps shrunk by sqrt(r).
+    mu re-centers a factor 2 (not Stan's 10) above the running step: the
+    step is already adapted, only gentle upward exploration is wanted.
+    """
+    log_step = da.log_step + shift
     return DualAvgState(
-        log_step=da.log_step,
+        log_step=log_step,
         log_step_bar=da.log_step_bar,
         hbar=jnp.zeros_like(da.hbar),
-        mu=jnp.log(10.0) + da.log_step,
+        mu=jnp.log(2.0) + log_step,
         count=jnp.zeros_like(da.count),
     )
 
@@ -253,14 +268,12 @@ def diag_adapt_update(
     )
     switch = (~frozen) & (draw_idx > 0) & ((draw_idx + 1) % freq == 0)
 
-    # recompute the estimate every (unfrozen) draw from the current window
-    if cfg.update_mass_matrix:
-        inv_mass = _estimate_inv_mass(cfg, draws_cur, grads_cur, adapt.inv_mass)
-        inv_mass = jnp.where(frozen, adapt.inv_mass, inv_mass)
-    else:
-        inv_mass = adapt.inv_mass
-
-    # switch: current <- background, background <- fresh
+    # switch FIRST (current <- background, background <- fresh), so the new
+    # window's estimate, the step-size stability correction, and the
+    # dual-averaging restart all land on the same draw.  (Round 1 estimated
+    # from the stale window here, so the metric actually jumped one draw
+    # after the restart, with a fully re-centered mu -- a reliable
+    # divergence per chain per switch.)
     dim = position.shape[-1]
     dtype = position.dtype
     fresh = welford_init(dim, dtype)
@@ -273,7 +286,33 @@ def diag_adapt_update(
     draws_cur, draws_bg = do_switch(draws_cur, draws_bg)
     grads_cur, grads_bg = do_switch(grads_cur, grads_bg)
 
-    # soft-restart dual averaging when the metric changed
+    # recompute the estimate every (unfrozen) draw from the current window,
+    # rate-limited to a factor 2 per coordinate per draw.  Leapfrog
+    # stability in coordinate i scales as eps*sqrt(inv_mass_i), so an
+    # unbounded metric jump (window switch, volatile early windows) blows
+    # up the next trajectory before dual averaging can react -- that was
+    # one divergence per chain per switch in round 1.  The tube converges
+    # geometrically, so even x1000 corrections complete within ~10 draws,
+    # while the per-draw stability-margin loss stays within what dual
+    # averaging absorbs.
+    if cfg.update_mass_matrix:
+        inv_mass = _estimate_inv_mass(cfg, draws_cur, grads_cur, adapt.inv_mass)
+        inv_mass = jnp.clip(
+            inv_mass, adapt.inv_mass * 0.5, adapt.inv_mass * 2.0
+        )
+        inv_mass = jnp.where(frozen, adapt.inv_mass, inv_mass)
+    else:
+        inv_mass = adapt.inv_mass
+
+    # matched step-size correction: eps*sqrt(inv_mass_i) is the stability
+    # margin, so when the (tube-limited) metric moves up, shift the step
+    # down by exactly the margin lost -- at most 0.5*log(2) per draw, which
+    # dual averaging re-earns within a draw when it was not needed
+    ratio = jnp.max(inv_mass / jnp.maximum(adapt.inv_mass, cfg.min_variance))
+    shift = -0.5 * jnp.log(jnp.clip(ratio, 1.0, 2.0))
+    da = da._replace(log_step=da.log_step + shift, mu=da.mu + shift)
+
+    # soft-restart dual averaging when the window switched
     da = jax.tree_util.tree_map(
         lambda r, k: jnp.where(switch, r, k), dual_avg_restart(da), da
     )

@@ -64,21 +64,38 @@ def find_initial_step(cfg: NutsConfig, logp_and_grad, state, max_iters: int = 32
     p0 = metric_momentum(cfg, adapt, gauss)
     h0 = -state.logp + 0.5 * jnp.dot(p0, metric_velocity(cfg, adapt, p0))
 
-    def accept_prob(log_eps):
+    def accept_prob(log_eps, n_steps: int = 4):
+        # Probe a short trajectory, not a single step: at the (out-of-
+        # typical-set) initial position stiffness grows along the path, and
+        # a single-step probe under-estimates it enough to diverge the
+        # first draws.  Worst energy error over the probe is the criterion.
         eps = jnp.exp(log_eps)
-        p_half = p0 + 0.5 * eps * state.gradient
-        z_new = state.position + eps * metric_velocity(cfg, adapt, p_half)
-        logp_new, g_new = logp_and_grad(z_new)
-        p_new = p_half + 0.5 * eps * g_new.astype(dtype)
-        h = -logp_new.astype(dtype) + 0.5 * jnp.dot(
-            p_new, metric_velocity(cfg, adapt, p_new)
-        )
-        a = h0 - h
-        return jnp.where(jnp.isfinite(a), a, -jnp.inf)
 
+        def leap(carry, _):
+            z, p, g, worst = carry
+            p_half = p + 0.5 * eps * g
+            z_new = z + eps * metric_velocity(cfg, adapt, p_half)
+            logp_new, g_new = logp_and_grad(z_new)
+            p_new = p_half + 0.5 * eps * g_new.astype(dtype)
+            h = -logp_new.astype(dtype) + 0.5 * jnp.dot(
+                p_new, metric_velocity(cfg, adapt, p_new)
+            )
+            a = h0 - h
+            a = jnp.where(jnp.isfinite(a), a, -jnp.inf)
+            return (z_new, p_new, g_new.astype(dtype), jnp.minimum(worst, a)), None
+
+        init = (state.position, p0, state.gradient, jnp.zeros((), dtype))
+        (_, _, _, worst), _ = jax.lax.scan(leap, init, None, length=n_steps)
+        return worst
+
+    # Cross at target_accept (not Stan's 0.5): the first draws run with this
+    # step before dual averaging has data, and a step at the 0.5 boundary is
+    # close enough to the stability limit that full trajectories blow up
+    # (draw-0/1 divergences on every chain of the radon model).
+    log_target = jnp.log(cfg.adapt.target_accept)
     log_eps0 = adapt.da.log_step
     a0 = accept_prob(log_eps0)
-    direction = jnp.where(a0 > jnp.log(0.5), 1.0, -1.0).astype(dtype)
+    direction = jnp.where(a0 > log_target, 1.0, -1.0).astype(dtype)
 
     def cond(carry):
         log_eps, i, keep_going = carry
@@ -88,8 +105,8 @@ def find_initial_step(cfg: NutsConfig, logp_and_grad, state, max_iters: int = 32
         log_eps, i, _ = carry
         log_eps_new = log_eps + direction * jnp.log(2.0)
         a = accept_prob(log_eps_new)
-        # continue while we have not crossed the 0.5 boundary
-        crossed = jnp.where(direction > 0, a <= jnp.log(0.5), a > jnp.log(0.5))
+        # continue while we have not crossed the target boundary
+        crossed = jnp.where(direction > 0, a <= log_target, a > log_target)
         # on upward search, stepping past the boundary overshoots: back off
         log_eps_out = jnp.where(
             crossed & (direction > 0), log_eps, log_eps_new
@@ -99,11 +116,20 @@ def find_initial_step(cfg: NutsConfig, logp_and_grad, state, max_iters: int = 32
     log_eps, _, _ = jax.lax.while_loop(
         cond, body, (log_eps0, jnp.zeros((), jnp.int32), a0 > -jnp.inf)
     )
+    # Safety margin: the first full trajectories traverse from the init
+    # point deep into the typical set, through curvature the local probe
+    # cannot see; start a factor 4 below the probed boundary and let dual
+    # averaging grow back (clamped at x2 per draw, so ~2 draws).
+    log_eps = log_eps - jnp.log(4.0)
     log_eps = jnp.clip(log_eps, jnp.log(1e-10), jnp.log(1e3))
+    # No upward mu pull at init (Stan uses log(10)+log_eps): the search just
+    # found the stability boundary and the chain is still moving into the
+    # typical set where stiffness only grows; any bias up diverges draws
+    # 1-2.  The first window switch re-centers mu a factor 2 up.
     da = adapt.da._replace(
         log_step=log_eps,
         log_step_bar=log_eps,
-        mu=jnp.log(10.0) + log_eps,
+        mu=log_eps,
     )
     return state._replace(adapt=adapt._replace(da=da))
 

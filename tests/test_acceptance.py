@@ -35,6 +35,22 @@ def test_radon_convergence_gate():
     assert worst_rhat <= 1.02, worst_rhat
 
 
+def test_radon_warmup_divergence_gate():
+    # Bench-like settings at reduced chain count.  Round 1 produced ~13
+    # warmup divergences per chain (one per mass-matrix window switch, plus
+    # an init transient); the metric rate-limiting + matched step-size
+    # correction must keep warmup divergences ~1/chain and posterior at 0.
+    model = compile_model_def(radon())
+    trace = nutpie_tpu.sample(
+        model, chains=32, tune=300, draws=300, seed=0, progress_bar=False,
+        save_warmup=True,
+    )
+    post_div = np.asarray(trace.sample_stats["diverging"].values).sum()
+    warm_div = np.asarray(trace.warmup_sample_stats["diverging"].values).sum()
+    assert post_div == 0, post_div
+    assert warm_div <= 64, warm_div  # <= 2 per chain
+
+
 def test_ill_conditioned_gaussian_adaptation():
     dim = 100
     model = compile_model_def(

@@ -112,6 +112,8 @@ def _nuts_config_from_settings(
         maxdepth=settings.maxdepth,
         mindepth=settings.mindepth,
         check_turning=settings.check_turning,
+        target_time=settings.target_integration_time,
+        extra_doublings=settings.extra_doublings,
         max_energy_error=settings.max_energy_error,
         store_gradient=settings.store_gradient,
         store_mass_matrix=getattr(mm, "store_mass_matrix", False),

@@ -109,6 +109,14 @@ class NutsConfig:
     maxdepth: int = 10
     mindepth: int = 0
     check_turning: bool = True
+    # Target trajectory integration time (reference `target_integration_time`,
+    # wrapper.rs:577-579; nuts-rs semantics are not vendored, so this build
+    # defines it as: each draw's doubling limit is the depth at which the
+    # trajectory's integration time 2^depth * eps first reaches the target,
+    # plus `extra_doublings`, clipped to [mindepth, maxdepth].  With
+    # check_turning=False this yields fixed-integration-time multinomial HMC.
+    target_time: Optional[float] = None
+    extra_doublings: int = 0
     max_energy_error: float = 1000.0
     store_gradient: bool = False
     store_mass_matrix: bool = False
@@ -568,7 +576,16 @@ def machine_step(
     else:
         turning_traj = jnp.zeros((), bool)
 
-    ended_by_depth = merge_ok & ((s.depth + 1) >= cfg.maxdepth)
+    if cfg.target_time is not None:
+        # dynamic per-draw doubling limit: first depth whose integration time
+        # 2^depth * eps covers the target, plus extra_doublings
+        req = jnp.ceil(
+            jnp.log2(jnp.maximum(cfg.target_time / s.eps, 1.0))
+        ).astype(jnp.int32) + cfg.extra_doublings
+        depth_limit = jnp.clip(req, max(cfg.mindepth, 1), cfg.maxdepth)
+    else:
+        depth_limit = cfg.maxdepth
+    ended_by_depth = merge_ok & ((s.depth + 1) >= depth_limit)
     draw_done = sub_done & (sub_invalid | turning_traj | ended_by_depth)
 
     # next doubling (when merged and continuing)

@@ -183,3 +183,36 @@ def test_init_failure_raises():
             bad, chains=2, draws=10, tune=10, seed=1, progress_bar=False,
             num_try_init=3,
         )
+
+
+def test_target_integration_time():
+    # fixed step size 0.25, target time 2.0 -> depth limit ceil(log2(8)) = 3;
+    # check_turning off isolates the time criterion (previously trajectories
+    # would always run to maxdepth)
+    model = compile_model_def(std_normal(2))
+    trace = nutpie_tpu.sample(
+        model, chains=2, draws=50, tune=50, seed=6, progress_bar=False,
+        maxdepth=10, step_size_adapt_method="0.25", check_turning=False,
+        target_integration_time=2.0,
+    )
+    depth = np.asarray(trace.sample_stats["depth"].values)
+    assert depth.max() == 3
+    assert depth.min() == 3
+
+    # extra_doublings extends past the time-determined depth
+    trace2 = nutpie_tpu.sample(
+        model, chains=2, draws=50, tune=50, seed=6, progress_bar=False,
+        maxdepth=10, step_size_adapt_method="0.25", check_turning=False,
+        target_integration_time=2.0, extra_doublings=2,
+    )
+    depth2 = np.asarray(trace2.sample_stats["depth"].values)
+    assert depth2.max() == 5
+
+    # u-turn criterion still terminates earlier when enabled
+    trace3 = nutpie_tpu.sample(
+        model, chains=2, draws=50, tune=50, seed=6, progress_bar=False,
+        maxdepth=10, step_size_adapt_method="0.25",
+        target_integration_time=50.0,
+    )
+    depth3 = np.asarray(trace3.sample_stats["depth"].values)
+    assert depth3.max() < 8

@@ -182,11 +182,34 @@ def _cached_init_fn(model: ModelDef, cfg, dtype, num_try_init: int):
     return fn
 
 
-def _mclmc_config_from_settings(settings: MclmcSettings) -> "MclmcConfig":
+def _mclmc_config_from_settings(
+    settings: MclmcSettings, transform_args: Optional[dict] = None
+) -> "MclmcConfig":
+    import dataclasses as _dc
+
     from .sampler.mclmc import MclmcConfig
+    from .sampler.nuts import LowRankConfig
+    from .transforms.flow import FlowConfig
 
     ss = settings.adapt_options.step_size_settings
     mm = getattr(settings.adapt_options, "mass_matrix_options", None)
+    low_rank = None
+    flow = None
+    if settings.adaptation == "low_rank":
+        low_rank = LowRankConfig(
+            eigval_cutoff=getattr(mm, "eigval_cutoff", 100.0),
+            gamma=getattr(mm, "gamma", 1e-5),
+            window=getattr(settings.adapt_options, "mass_matrix_switch_freq", 80),
+        )
+    elif settings.adaptation == "flow":
+        args = dict(getattr(settings.adapt_options, "flow", {}) or {})
+        args.update(transform_args or {})
+        freq = getattr(settings.adapt_options, "transform_update_freq", 64)
+        known = {f.name for f in _dc.fields(FlowConfig)}
+        flow = FlowConfig(
+            update_freq=freq,
+            **{k: v for k, v in args.items() if k in known},
+        )
     adapt = AdaptConfig(
         num_tune=settings.num_tune,
         switch_freq=getattr(settings.adapt_options, "mass_matrix_switch_freq", 80),
@@ -196,6 +219,7 @@ def _mclmc_config_from_settings(settings: MclmcSettings) -> "MclmcConfig":
         use_grad_based_estimate=getattr(mm, "use_grad_based_estimate", True),
         target_accept=ss.target_accept,
         initial_step=ss.initial_step,
+        update_mass_matrix=flow is None,
     )
     return MclmcConfig(
         step_size=settings.step_size,
@@ -206,6 +230,8 @@ def _mclmc_config_from_settings(settings: MclmcSettings) -> "MclmcConfig":
         trajectory=settings.trajectory_kind,
         store_gradient=settings.store_gradient,
         store_mass_matrix=getattr(mm, "store_mass_matrix", False),
+        low_rank=low_rank,
+        flow=flow,
         adapt=adapt,
     )
 
@@ -272,7 +298,9 @@ class _BackgroundSampler:
 
         self._model: ModelDef = compiled_model._make_model(self._seed)
         if self._kind == "mclmc":
-            self._cfg = _mclmc_config_from_settings(settings)
+            self._cfg = _mclmc_config_from_settings(
+                settings, getattr(compiled_model, "_transform_adapt_args", None)
+            )
         else:
             self._cfg = _nuts_config_from_settings(
                 settings, getattr(compiled_model, "_transform_adapt_args", None)

@@ -19,7 +19,7 @@ current/background Welford machinery.  The momentum decoherence length is
 from __future__ import annotations
 
 import dataclasses
-from typing import NamedTuple
+from typing import NamedTuple, Optional
 
 import jax
 import jax.numpy as jnp
@@ -31,7 +31,9 @@ from .adapt import (
     welford_add,
     welford_init,
 )
+from .low_rank import LowRankMetric, estimate_low_rank, identity_metric
 from .state import WelfordState, tree_where
+from ..transforms.flow import FlowConfig
 
 
 @dataclasses.dataclass(frozen=True)
@@ -50,6 +52,16 @@ class MclmcConfig:
     trajectory: str = "microcanonical"
     store_gradient: bool = False
     store_mass_matrix: bool = False
+    # low-rank preconditioner (reference LowRankMclmcSettings,
+    # wrapper.rs:131-136): the dynamics run in the preconditioned space
+    # x = A z with A A^T = M^{-1} = D^{1/2}(I + U(L-1)U^T)D^{1/2}, i.e.
+    # A = D^{1/2}(I + U(sqrt(L)-1)U^T); factors recompute at chunk
+    # boundaries from the chunk's draws like the NUTS low-rank path
+    low_rank: Optional["LowRankConfig"] = None
+    # flow preconditioner (reference FlowMclmcSettings): the dynamics run
+    # in the flow's base space with an identity metric; the flow trains at
+    # chunk boundaries with the shared Fisher-loss machinery
+    flow: Optional[FlowConfig] = None
     adapt: AdaptConfig = dataclasses.field(
         default_factory=lambda: AdaptConfig(num_tune=300)
     )
@@ -57,7 +69,7 @@ class MclmcConfig:
 
 class MclmcState(NamedTuple):
     rng_key: jax.Array
-    position: jax.Array      # [dim]
+    position: jax.Array      # [dim] (flow mode: base-space z)
     gradient: jax.Array
     logp: jax.Array
     velocity: jax.Array      # [dim] unit vector (preconditioned space)
@@ -70,6 +82,10 @@ class MclmcState(NamedTuple):
     grads_bg: WelfordState
     total_steps: jax.Array
     divergence_count: jax.Array
+    # None unless the corresponding preconditioner is active (None is an
+    # empty pytree, so the state layout stays static per configuration)
+    metric: Optional[LowRankMetric] = None
+    floww: Optional["FlowWindow"] = None
 
 
 class MclmcBuffers(NamedTuple):
@@ -81,6 +97,25 @@ class MclmcBuffers(NamedTuple):
     n_steps: jax.Array
     gradient: jax.Array | None
     mass_matrix_inv: jax.Array | None
+
+
+def _apply_A(inv_mass, metric, u):
+    """x-space velocity from preconditioned-space u: A u with A A^T = M^{-1}."""
+    s = jnp.sqrt(inv_mass)
+    if metric is None:
+        return s * u
+    coeff = (jnp.exp(0.5 * metric.log_eigs) - 1.0) * (u @ metric.basis)
+    return s * (u + metric.basis @ coeff)
+
+
+def _apply_At(inv_mass, metric, g):
+    """Pull a model-space gradient into the preconditioned space: A^T g."""
+    s = jnp.sqrt(inv_mass)
+    w = s * g
+    if metric is None:
+        return w
+    coeff = (jnp.exp(0.5 * metric.log_eigs) - 1.0) * (w @ metric.basis)
+    return w + metric.basis @ coeff
 
 
 def _update_velocity(u, g_z, step, dim):
@@ -114,46 +149,62 @@ def _partial_refresh(u, key, eps, L, dtype):
 def make_mclmc_chunk_runner(model, cfg: MclmcConfig, chunk_len: int, dtype):
     """Build the jitted chunk runner: scan over draws, inner integrator."""
 
-    logp_and_grad = jax.value_and_grad(model.logp_fn)
     dim = model.ndim
     L = cfg.momentum_decoherence_length * jnp.sqrt(float(dim))
 
-    def one_step(carry, key):
-        """Position-verlet step + partial refresh, for either dynamics.
+    if cfg.flow is not None:
+        from ..transforms.flow import make_flow_logp
 
-        Both trajectory kinds share the skeleton (position half step,
-        momentum update from the midpoint gradient, position half step) so
-        the variant select is elementwise and costs no extra gradients.
-        Energy change: dKE + dV with V = -logp, so dV = logp_old - logp_new.
-        """
-        x, g, logp, u, inv_mass, eps, use_micro = carry
-        sigma = jnp.sqrt(inv_mass)
-        # preconditioned space z = x / sigma; dV/dz = -grad(logp) * sigma
-        x = x + 0.5 * eps * sigma * u
-        _, g_mid = logp_and_grad(x)
-        g_z = -(g_mid.astype(dtype) * sigma)
-        # isokinetic momentum update
-        u_m, dke_m = _update_velocity(u, g_z, eps, dim)
-        # euclidean (Langevin) momentum update: full kick
-        u_e = u - eps * g_z
-        dke_e = 0.5 * (jnp.sum(u_e * u_e) - jnp.sum(u * u))
-        u = jnp.where(use_micro, u_m, u_e)
-        dke = jnp.where(use_micro, dke_m, dke_e)
-        x = x + 0.5 * eps * sigma * u
-        logp2, g2 = logp_and_grad(x)
-        de = dke + (logp - logp2.astype(dtype))
-        # partial refresh: projective for isokinetic, OU for euclidean
-        u_rm = _partial_refresh(u, key, eps, L, dtype)
-        c = jnp.exp(-eps / L)
-        xi = jax.random.normal(key, u.shape, dtype)
-        u_re = c * u + jnp.sqrt(jnp.maximum(1.0 - c * c, 0.0)) * xi
-        u = jnp.where(use_micro, u_rm, u_re)
-        return (
-            x, g2.astype(dtype), logp2.astype(dtype), u, inv_mass, eps,
-            use_micro,
-        ), de
+        _flow_logp = make_flow_logp(cfg.flow, model.logp_fn)
+    else:
+        _flow_logp = None
 
     def one_draw(state: MclmcState, sched: Schedule, draw_keys):
+        if cfg.flow is not None:
+            # dynamics run in the flow's base space with identity metric;
+            # the flow parameters are frozen within a chunk
+            flow_params = state.floww.flow
+            logp_and_grad = jax.value_and_grad(
+                lambda z: _flow_logp(z, flow_params)
+            )
+        else:
+            logp_and_grad = jax.value_and_grad(model.logp_fn)
+
+        def one_step(carry, key):
+            """Position-verlet step + partial refresh, for either dynamics.
+
+            Both trajectory kinds share the skeleton (position half step,
+            momentum update from the midpoint gradient, position half step)
+            so the variant select is elementwise and costs no extra
+            gradients.  Energy change: dKE + dV with V = -logp, so
+            dV = logp_old - logp_new.
+            """
+            x, g, logp, u, eps, use_micro = carry
+            inv_mass, metric = state.inv_mass, state.metric
+            # preconditioned space z = A^{-1} x; dV/dz = -A^T grad(logp)
+            x = x + 0.5 * eps * _apply_A(inv_mass, metric, u)
+            _, g_mid = logp_and_grad(x)
+            g_z = -_apply_At(inv_mass, metric, g_mid.astype(dtype))
+            # isokinetic momentum update
+            u_m, dke_m = _update_velocity(u, g_z, eps, dim)
+            # euclidean (Langevin) momentum update: full kick
+            u_e = u - eps * g_z
+            dke_e = 0.5 * (jnp.sum(u_e * u_e) - jnp.sum(u * u))
+            u = jnp.where(use_micro, u_m, u_e)
+            dke = jnp.where(use_micro, dke_m, dke_e)
+            x = x + 0.5 * eps * _apply_A(inv_mass, metric, u)
+            logp2, g2 = logp_and_grad(x)
+            de = dke + (logp - logp2.astype(dtype))
+            # partial refresh: projective for isokinetic, OU for euclidean
+            u_rm = _partial_refresh(u, key, eps, L, dtype)
+            c = jnp.exp(-eps / L)
+            xi = jax.random.normal(key, u.shape, dtype)
+            u_re = c * u + jnp.sqrt(jnp.maximum(1.0 - c * c, 0.0)) * xi
+            u = jnp.where(use_micro, u_rm, u_re)
+            return (
+                x, g2.astype(dtype), logp2.astype(dtype), u, eps, use_micro,
+            ), de
+
         eps = jnp.exp(state.log_eps)
         if cfg.trajectory == "euclidean":
             use_micro = jnp.zeros((), bool)
@@ -167,11 +218,10 @@ def make_mclmc_chunk_runner(model, cfg: MclmcConfig, chunk_len: int, dtype):
             use_micro, u0 / jnp.sqrt(jnp.maximum(jnp.sum(u0 * u0), 1e-30)), u0
         )
         carry = (
-            state.position, state.gradient, state.logp, u0,
-            state.inv_mass, eps, use_micro,
+            state.position, state.gradient, state.logp, u0, eps, use_micro,
         )
         carry, des = jax.lax.scan(one_step, carry, draw_keys)
-        x, g, logp, u, _, _, _ = carry
+        x, g, logp, u, _, _ = carry
         de_total = jnp.sum(des)
         var_e = jnp.mean(jnp.square(des))
         # the euclidean (unadjusted Langevin) dynamics has no multinomial
@@ -208,33 +258,39 @@ def make_mclmc_chunk_runner(model, cfg: MclmcConfig, chunk_len: int, dtype):
             log_eps = jnp.maximum(log_eps, jnp.log(1e-6))
         else:
             log_eps = state.log_eps
-        # -- mass matrix windows (same scheme as NUTS)
-        ok = tuning & ~diverging
-        def upd(w, val):
-            return tree_where(ok, welford_add(w, val), w)
-        draws_cur = upd(state.draws_cur, x)
-        grads_cur = upd(state.grads_cur, g)
-        draws_bg = upd(state.draws_bg, x)
-        grads_bg = upd(state.grads_bg, g)
-        frozen = state.draw_idx >= sched.freeze_start
-        freq = jnp.where(
-            state.draw_idx < sched.early_end,
-            cfg.adapt.early_switch_freq, cfg.adapt.switch_freq,
-        )
-        switch = tuning & (~frozen) & (state.draw_idx > 0) & (
-            (state.draw_idx + 1) % freq == 0
-        )
-        inv_mass = _estimate_inv_mass(
-            cfg.adapt, draws_cur, grads_cur, state.inv_mass
-        )
-        inv_mass = jnp.where(tuning & ~frozen, inv_mass, state.inv_mass)
-        fresh = welford_init(dim, dtype)
-        def sw(cur, bg):
-            new_cur = tree_where(switch, bg, cur)
-            new_bg = tree_where(switch, fresh, bg)
-            return new_cur, new_bg
-        draws_cur, draws_bg = sw(draws_cur, draws_bg)
-        grads_cur, grads_bg = sw(grads_cur, grads_bg)
+        # -- mass matrix windows (same scheme as NUTS); disabled in flow
+        # mode, where the flow absorbs the geometry
+        if cfg.adapt.update_mass_matrix:
+            ok = tuning & ~diverging
+            def upd(w, val):
+                return tree_where(ok, welford_add(w, val), w)
+            draws_cur = upd(state.draws_cur, x)
+            grads_cur = upd(state.grads_cur, g)
+            draws_bg = upd(state.draws_bg, x)
+            grads_bg = upd(state.grads_bg, g)
+            frozen = state.draw_idx >= sched.freeze_start
+            freq = jnp.where(
+                state.draw_idx < sched.early_end,
+                cfg.adapt.early_switch_freq, cfg.adapt.switch_freq,
+            )
+            switch = tuning & (~frozen) & (state.draw_idx > 0) & (
+                (state.draw_idx + 1) % freq == 0
+            )
+            inv_mass = _estimate_inv_mass(
+                cfg.adapt, draws_cur, grads_cur, state.inv_mass
+            )
+            inv_mass = jnp.where(tuning & ~frozen, inv_mass, state.inv_mass)
+            fresh = welford_init(dim, dtype)
+            def sw(cur, bg):
+                new_cur = tree_where(switch, bg, cur)
+                new_bg = tree_where(switch, fresh, bg)
+                return new_cur, new_bg
+            draws_cur, draws_bg = sw(draws_cur, draws_bg)
+            grads_cur, grads_bg = sw(grads_cur, grads_bg)
+        else:
+            draws_cur, grads_cur = state.draws_cur, state.grads_cur
+            draws_bg, grads_bg = state.draws_bg, state.grads_bg
+            inv_mass = state.inv_mass
 
         new_state = state._replace(
             position=x, gradient=g, logp=logp, velocity=u,
@@ -247,11 +303,17 @@ def make_mclmc_chunk_runner(model, cfg: MclmcConfig, chunk_len: int, dtype):
             divergence_count=state.divergence_count
             + diverging.astype(jnp.int32),
         )
+        # low-rank/flow adaptation consumes the chunk's gradients at chunk
+        # boundaries, so the gradient buffer is kept for them too
+        need_gradient = (
+            cfg.store_gradient or cfg.low_rank is not None
+            or cfg.flow is not None
+        )
         stats = dict(
             position=x, logp=logp, energy_error=de_total,
             diverging=diverging, step_size=jnp.exp(state.log_eps),
             n_steps=jnp.asarray(cfg.steps_per_draw, jnp.int32),
-            gradient=g if cfg.store_gradient else None,
+            gradient=g if need_gradient else None,
             mass_matrix_inv=inv_mass if cfg.store_mass_matrix else None,
         )
         return new_state, stats
@@ -287,6 +349,74 @@ def make_mclmc_chunk_runner(model, cfg: MclmcConfig, chunk_len: int, dtype):
             gradient=stats["gradient"],
             mass_matrix_inv=stats["mass_matrix_inv"],
         )
+
+        row_ids = jnp.arange(chunk_len, dtype=jnp.int32)
+
+        if cfg.low_rank is not None:
+            # recompute the low-rank preconditioner factors from this
+            # chunk's draws (chunks are aligned to the switch cadence), as
+            # in the NUTS low-rank path (run.py)
+            lr = cfg.low_rank
+
+            def update_metric(state_one, pos, grad, divg):
+                valid = (row_ids < limit) & (~divg)
+                metric_new = estimate_low_rank(
+                    pos, grad, valid, state_one.inv_mass,
+                    lr.max_rank, lr.eigval_cutoff, lr.gamma,
+                )
+                end = chunk_start + limit
+                due = (
+                    (end > sched.early_end)
+                    & (end <= sched.freeze_start)
+                    & (jnp.sum(valid) >= 8)
+                )
+                metric = tree_where(due, metric_new, state_one.metric)
+                return state_one._replace(metric=metric)
+
+            states = jax.vmap(update_metric)(
+                states, bufs.position, bufs.gradient, bufs.diverging
+            )
+
+        if cfg.flow is not None:
+            from ..transforms.flow import (
+                chunk_flow_update,
+                chunk_to_model_space,
+            )
+
+            fcfg = cfg.flow
+            # the chunk's buffers were produced under the current flow;
+            # keep it for the model-space conversion below
+            flow_of_chunk = states.floww.flow
+
+            def update_flow(state_one, pos, grad, divg):
+                rows_ok = (row_ids < limit) & (~divg)
+                win, position, gradient, logp = chunk_flow_update(
+                    fcfg, model.logp_fn, state_one.floww,
+                    state_one.position, state_one.gradient, state_one.logp,
+                    pos, grad, rows_ok,
+                    in_warmup=chunk_start < sched.num_tune,
+                )
+                return state_one._replace(
+                    floww=win, position=position, gradient=gradient,
+                    logp=logp,
+                )
+
+            states = jax.vmap(update_flow)(
+                states, bufs.position, bufs.gradient, bufs.diverging
+            )
+
+            # express the chunk's draws in model space: x = F(z),
+            # model logp = logp_z - logdet
+            def convert(flow_one, pos, lp, grad):
+                xs, logdets, gxs = chunk_to_model_space(
+                    fcfg, flow_one, pos, grad
+                )
+                return xs, lp - logdets, gxs
+
+            xs, logps, gxs = jax.vmap(convert)(
+                flow_of_chunk, bufs.position, bufs.logp, bufs.gradient
+            )
+            bufs = bufs._replace(position=xs, logp=logps, gradient=gxs)
         return states, bufs
 
     return jax.jit(run_chunk, donate_argnums=(0,))
@@ -309,19 +439,34 @@ def init_mclmc_chains(model, cfg: MclmcConfig, seed: int, n_chains: int,
         u = jax.random.normal(ukey, pos.shape, dtype)
         u = u / jnp.sqrt(jnp.sum(u * u))
         dim = pos.shape[-1]
+        if cfg.flow is not None:
+            from ..transforms.flow import init_flow_window
+
+            # identity metric: the flow absorbs the geometry (the initial
+            # flow is an exact identity, so base space == model space here)
+            inv_mass = jnp.ones((dim,), dtype)
+            floww = init_flow_window(cfg.flow, dim, chain_key, dtype)
+        else:
+            inv_mass = init_inv_mass_from_gradient(grad).astype(dtype)
+            floww = None
+        metric = None
+        if cfg.low_rank is not None:
+            metric = identity_metric(dim, cfg.low_rank.max_rank, dtype)
         return MclmcState(
             rng_key=chain_key,
             position=pos, gradient=grad, logp=logp,
             velocity=u,
             draw_idx=jnp.zeros((), jnp.int32),
             log_eps=jnp.asarray(jnp.log(cfg.step_size), dtype),
-            inv_mass=init_inv_mass_from_gradient(grad).astype(dtype),
+            inv_mass=inv_mass,
             draws_cur=welford_init(dim, dtype),
             grads_cur=welford_init(dim, dtype),
             draws_bg=welford_init(dim, dtype),
             grads_bg=welford_init(dim, dtype),
             total_steps=jnp.zeros((), jnp.int32),
             divergence_count=jnp.zeros((), jnp.int32),
+            metric=metric,
+            floww=floww,
         )
 
     states = jax.jit(jax.vmap(build))(

@@ -328,81 +328,28 @@ def make_chunk_runner(model: ModelDef, cfg: NutsConfig, chunk_len: int, dtype,
             # current flow), then re-base chains into the new flow's base
             # space.  All vmapped over chains: the whole fleet of flows
             # trains in one XLA program per chunk boundary.
-            from ..transforms.flow import (
-                flow_forward,
-                flow_inverse,
-                make_flow_logp,
-                refit_diag,
-                train_flow,
-            )
-            from .state import tree_where as _tw
+            from ..transforms.flow import FlowWindow, chunk_flow_update
 
             fcfg = cfg.flow
 
             def update_flow(state: NutsMachineState, bufs_one):
                 adapt = state.adapt
-                W = fcfg.window
                 rows_ok = (row_ids < limit) & (~bufs_one.diverging)
-                win_draws = jnp.concatenate(
-                    [adapt.win_draws, jnp.nan_to_num(bufs_one.position)], 0
-                )[-W:]
-                win_grads = jnp.concatenate(
-                    [adapt.win_grads, jnp.nan_to_num(bufs_one.gradient)], 0
-                )[-W:]
-                valid = jnp.concatenate([adapt.win_valid, rows_ok], 0)[-W:]
-                n_valid = jnp.sum(valid)
-                due = (
-                    (chunk_start < sched.num_tune)
-                    & (n_valid >= jnp.minimum(32, W))
+                win = FlowWindow(
+                    flow=adapt.flow, flow_updates=adapt.flow_updates,
+                    win_draws=adapt.win_draws, win_grads=adapt.win_grads,
+                    win_valid=adapt.win_valid,
                 )
-
-                # window (z, grad_z) -> model space (x, grad_x) through the
-                # current flow: one vjp through the inverse transform per row
-                def to_model_space(z, gz):
-                    x, _ = flow_forward(fcfg, adapt.flow, z)
-
-                    def inv_logdet(xx):
-                        zz = flow_inverse(fcfg, adapt.flow, xx)
-                        _, fld = flow_forward(fcfg, adapt.flow, zz)
-                        return zz, -fld
-
-                    _, vjp = jax.vjp(inv_logdet, x)
-                    (gx,) = vjp((gz, jnp.ones((), z.dtype)))
-                    return x, gx
-
-                xs, gxs = jax.vmap(to_model_space)(win_draws, win_grads)
-                xs = jnp.where(valid[:, None], xs, 0.0)
-                gxs = jnp.where(valid[:, None], gxs, 0.0)
-
-                diag_phase = adapt.flow_updates < fcfg.num_diag_updates
-                new_diag = refit_diag(adapt.flow, xs, gxs, valid)
-                trained, _, improved = train_flow(fcfg, adapt.flow, xs, gxs, valid)
-                candidate = _tw(diag_phase, new_diag, trained)
-                accept = due & (diag_phase | improved)
-                new_flow = _tw(accept, candidate, adapt.flow)
-
-                # re-base the chain into the new flow's coordinates
-                x_cur, _ = flow_forward(fcfg, adapt.flow, state.position)
-                z_new = flow_inverse(fcfg, new_flow, x_cur)
-                logp_new, grad_new = jax.value_and_grad(
-                    make_flow_logp(fcfg, model.logp_fn)
-                )(z_new, new_flow)
-                rebase_ok = accept & jnp.isfinite(logp_new) & jnp.all(
-                    jnp.isfinite(grad_new)
-                ) & jnp.all(jnp.isfinite(z_new))
-                new_flow = _tw(rebase_ok, new_flow, adapt.flow)
-                position = jnp.where(rebase_ok, z_new, state.position)
-                gradient = jnp.where(rebase_ok, grad_new, state.gradient)
-                logp = jnp.where(rebase_ok, logp_new, state.logp)
-
+                win, position, gradient, logp = chunk_flow_update(
+                    fcfg, model.logp_fn, win, state.position,
+                    state.gradient, state.logp, bufs_one.position,
+                    bufs_one.gradient, rows_ok,
+                    in_warmup=chunk_start < sched.num_tune,
+                )
                 adapt = adapt._replace(
-                    flow=new_flow,
-                    flow_updates=adapt.flow_updates + due.astype(jnp.int32),
-                    win_draws=win_draws,
-                    win_grads=win_grads,
-                    # training pairs in old coordinates are stale after a
-                    # flow change
-                    win_valid=valid & ~rebase_ok,
+                    flow=win.flow, flow_updates=win.flow_updates,
+                    win_draws=win.win_draws, win_grads=win.win_grads,
+                    win_valid=win.win_valid,
                 )
                 return state._replace(
                     adapt=adapt, position=position, gradient=gradient,
@@ -414,33 +361,23 @@ def make_chunk_runner(model: ModelDef, cfg: NutsConfig, chunk_len: int, dtype,
         if cfg.flow is not None:
             # express the chunk's draws in model space: x = F(z), model logp
             # = logp_z - logdet, gradient pushed forward through the flow
-            from ..transforms.flow import flow_forward, flow_inverse
+            from ..transforms.flow import chunk_to_model_space
 
             fcfg = cfg.flow
 
             def convert(bufs_one, adapt_one):
                 from .nuts import SCALAR_SLOTS
 
-                xs, logdets = jax.vmap(
-                    lambda z: flow_forward(fcfg, adapt_one.flow, z)
-                )(bufs_one.position)
+                xs, logdets, gxs = chunk_to_model_space(
+                    fcfg, adapt_one.flow, bufs_one.position,
+                    bufs_one.gradient,
+                )
                 # model-space logp = logp_z - logdet
                 scalars = bufs_one.scalars.at[:, SCALAR_SLOTS["logp"]].add(
                     -logdets
                 )
                 new = bufs_one._replace(position=xs, scalars=scalars)
-                if bufs_one.gradient is not None:
-                    def push(x, gz):
-                        def inv_logdet(xx):
-                            zz = flow_inverse(fcfg, adapt_one.flow, xx)
-                            _, fld = flow_forward(fcfg, adapt_one.flow, zz)
-                            return zz, -fld
-
-                        _, vjp = jax.vjp(inv_logdet, x)
-                        (gx,) = vjp((gz, jnp.ones((), x.dtype)))
-                        return gx
-
-                    gxs = jax.vmap(push)(xs, bufs_one.gradient)
+                if gxs is not None:
                     new = new._replace(gradient=gxs)
                 return new
 

@@ -307,3 +307,137 @@ def train_flow(cfg: FlowConfig, params: FlowParams, xs, gs, valid):
     best_l = jnp.where(better, l_fin, best_l)
     improved = best_l < loss0
     return best_p, best_l, improved
+
+
+class FlowWindow(NamedTuple):
+    """Per-chain flow-training window + parameters (shared by NUTS/MCLMC).
+
+    Carried inside the sampler's adaptation state; updated only at chunk
+    boundaries (per-step window writes would cost O(window*dim) per
+    leapfrog on TPU).
+    """
+
+    flow: FlowParams
+    flow_updates: jax.Array  # i32
+    win_draws: jax.Array     # [window, dim] base-space positions
+    win_grads: jax.Array     # [window, dim] base-space gradients
+    win_valid: jax.Array     # [window] bool
+
+
+def init_flow_window(cfg: FlowConfig, dim: int, key, dtype) -> FlowWindow:
+    W = cfg.window
+    return FlowWindow(
+        flow=init_flow_params(cfg, dim, key, dtype),
+        flow_updates=jnp.zeros((), jnp.int32),
+        win_draws=jnp.zeros((W, dim), dtype),
+        win_grads=jnp.zeros((W, dim), dtype),
+        win_valid=jnp.zeros((W,), bool),
+    )
+
+
+def chunk_flow_update(
+    fcfg: FlowConfig,
+    logp_fn,
+    win: FlowWindow,
+    position: jax.Array,
+    gradient: jax.Array,
+    logp: jax.Array,
+    buf_pos: jax.Array,     # [L, dim] chunk draws in base space
+    buf_grad: jax.Array,    # [L, dim] chunk gradients in base space
+    rows_ok: jax.Array,     # [L] bool validity of each chunk row
+    in_warmup: jax.Array,   # scalar bool: training still allowed
+):
+    """One per-chain flow-training step at a chunk boundary.
+
+    Rolls the chunk's (z, grad_z) draws into the training window, expresses
+    the window in model space through the current flow, trains (diagonal
+    refit for the first ``num_diag_updates``, Fisher-loss Adam after), and
+    re-bases the chain into the new flow's base space.  Returns
+    ``(new_window, position, gradient, logp)``; all failure modes leave the
+    flow unchanged (reference degradation protocol,
+    ``transform_adapter.py:753-786``).  Vmapped over chains by the caller.
+    """
+    from ..sampler.state import tree_where as _tw
+
+    W = fcfg.window
+    win_draws = jnp.concatenate(
+        [win.win_draws, jnp.nan_to_num(buf_pos)], 0
+    )[-W:]
+    win_grads = jnp.concatenate(
+        [win.win_grads, jnp.nan_to_num(buf_grad)], 0
+    )[-W:]
+    valid = jnp.concatenate([win.win_valid, rows_ok], 0)[-W:]
+    n_valid = jnp.sum(valid)
+    due = in_warmup & (n_valid >= jnp.minimum(32, W))
+
+    # window (z, grad_z) -> model space (x, grad_x) through the current
+    # flow: one vjp through the inverse transform per row
+    def to_model_space(z, gz):
+        x, _ = flow_forward(fcfg, win.flow, z)
+
+        def inv_logdet(xx):
+            zz = flow_inverse(fcfg, win.flow, xx)
+            _, fld = flow_forward(fcfg, win.flow, zz)
+            return zz, -fld
+
+        _, vjp = jax.vjp(inv_logdet, x)
+        (gx,) = vjp((gz, jnp.ones((), z.dtype)))
+        return x, gx
+
+    xs, gxs = jax.vmap(to_model_space)(win_draws, win_grads)
+    xs = jnp.where(valid[:, None], xs, 0.0)
+    gxs = jnp.where(valid[:, None], gxs, 0.0)
+
+    diag_phase = win.flow_updates < fcfg.num_diag_updates
+    new_diag = refit_diag(win.flow, xs, gxs, valid)
+    trained, _, improved = train_flow(fcfg, win.flow, xs, gxs, valid)
+    candidate = _tw(diag_phase, new_diag, trained)
+    accept = due & (diag_phase | improved)
+    new_flow = _tw(accept, candidate, win.flow)
+
+    # re-base the chain into the new flow's coordinates
+    flow_logp = make_flow_logp(fcfg, logp_fn)
+    x_cur, _ = flow_forward(fcfg, win.flow, position)
+    z_new = flow_inverse(fcfg, new_flow, x_cur)
+    logp_new, grad_new = jax.value_and_grad(flow_logp)(z_new, new_flow)
+    rebase_ok = accept & jnp.isfinite(logp_new) & jnp.all(
+        jnp.isfinite(grad_new)
+    ) & jnp.all(jnp.isfinite(z_new))
+    new_flow = _tw(rebase_ok, new_flow, win.flow)
+    position = jnp.where(rebase_ok, z_new, position)
+    gradient = jnp.where(rebase_ok, grad_new, gradient)
+    logp = jnp.where(rebase_ok, logp_new, logp)
+
+    new_win = FlowWindow(
+        flow=new_flow,
+        flow_updates=win.flow_updates + due.astype(jnp.int32),
+        win_draws=win_draws,
+        win_grads=win_grads,
+        # training pairs in old coordinates are stale after a flow change
+        win_valid=valid & ~rebase_ok,
+    )
+    return new_win, position, gradient, logp
+
+
+def chunk_to_model_space(fcfg: FlowConfig, flow: FlowParams,
+                         positions: jax.Array, gradients=None):
+    """Express a chunk's base-space draws in model space (per chain).
+
+    Returns ``(xs, logdets, gxs)`` with ``gxs=None`` when no gradients are
+    given; model-space logp is ``logp_z - logdet``.
+    """
+    xs, logdets = jax.vmap(lambda z: flow_forward(fcfg, flow, z))(positions)
+    gxs = None
+    if gradients is not None:
+        def push(x, gz):
+            def inv_logdet(xx):
+                zz = flow_inverse(fcfg, flow, xx)
+                _, fld = flow_forward(fcfg, flow, zz)
+                return zz, -fld
+
+            _, vjp = jax.vjp(inv_logdet, x)
+            (gx,) = vjp((gz, jnp.ones((), x.dtype)))
+            return gx
+
+        gxs = jax.vmap(push)(xs, gradients)
+    return xs, logdets, gxs

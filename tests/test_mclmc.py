@@ -56,3 +56,53 @@ def test_mclmc_trajectory_kinds(traj):
     x = np.asarray(trace.posterior["x"].values)
     assert abs(x.mean() - 1.0) < 0.2
     assert abs(x.std() - 2.0) < 0.3
+
+
+def _correlated_gaussian(dim=8, factor=40.0, seed=0):
+    import jax.numpy as jnp
+    from nutpie_tpu.model import make_model
+
+    rng = np.random.default_rng(seed)
+    u = rng.standard_normal((dim, 1))
+    u /= np.linalg.norm(u)
+    cov = np.eye(dim) + factor * (u @ u.T)
+    prec = jnp.asarray(np.linalg.inv(cov))
+
+    def logp(x):
+        return -0.5 * x @ prec @ x
+
+    return make_model(
+        dim, logp,
+        param_vars=[("x", np.float64, (dim,), ("unconstrained_parameter",))],
+    ), cov
+
+
+def test_mclmc_low_rank():
+    # a strongly correlated Gaussian: the low-rank preconditioner must
+    # recover the factor direction's variance, which diag-preconditioned
+    # MCLMC underestimates badly at equal budget
+    model_def, cov = _correlated_gaussian()
+    model = compile_model_def(model_def)
+    trace = nutpie_tpu.sample(
+        model, sampler="mclmc", adaptation="low_rank", chains=8, draws=3000,
+        tune=1200, seed=11, progress_bar=False,
+    )
+    x = np.asarray(trace.posterior["x"].values).reshape(-1, 8)
+    emp = np.var(x, axis=0)
+    ratio = emp / np.diag(cov)
+    assert ratio.min() > 0.5, ratio
+    assert ratio.max() < 1.5, ratio
+
+
+@pytest.mark.flow
+def test_mclmc_flow():
+    # scale-varying Gaussian: the flow's diagonal refit must absorb the
+    # scales so base-space MCLMC mixes evenly
+    model = compile_model_def(std_normal(4, mu=1.0, sigma=3.0))
+    trace = nutpie_tpu.sample(
+        model, sampler="mclmc", adaptation="flow", chains=4, draws=2000,
+        tune=800, seed=17, progress_bar=False,
+    )
+    x = np.asarray(trace.posterior["x"].values)
+    assert abs(x.mean() - 1.0) < 0.3
+    assert abs(x.std() - 3.0) < 0.5

@@ -18,6 +18,11 @@ momentum and continues, so every gradient evaluation slot does useful work
 
 The dominant per-step cost is the fused logp+gradient evaluation, which XLA
 batches over all chains on the MXU/VPU; the bookkeeping is O(dim) vector ops.
+Per-chain state is packed into three arrays (``vecs [NV, dim]``, ``flts``,
+``ints``; see ``state.py``): the machine step unpacks to locals, computes
+exactly the same expressions as a field-per-array layout would, and
+reassembles with three stacks, so the while loop carries ~7 buffers instead
+of ~45 (each carried buffer costs an HBM round trip per step on TPU).
 """
 
 from __future__ import annotations
@@ -41,7 +46,18 @@ from .low_rank import (
     lr_velocity,
     lr_velocity_rows,
 )
-from .state import NutsMachineState, tree_where
+from .state import (
+    DIV_SLOTS,
+    FLT_SLOTS,
+    INT_SLOTS,
+    N_FLT,
+    N_INT,
+    N_VEC_BASE,
+    N_VEC_DIV,
+    VEC_SLOTS,
+    NutsMachineState,
+    tree_where,
+)
 from ..ops.row_write import masked_row_write
 from ..transforms.flow import FlowConfig, FlowParams, init_flow_params
 
@@ -292,6 +308,35 @@ def _w(mask, new, old):
     return jnp.where(m, new, old)
 
 
+def n_vec_rows(cfg: NutsConfig) -> int:
+    return N_VEC_DIV if cfg.store_divergences else N_VEC_BASE
+
+
+def _pack_flts(dtype, **values) -> jax.Array:
+    rows = [None] * N_FLT
+    for name, idx in FLT_SLOTS.items():
+        rows[idx] = jnp.asarray(values[name]).astype(dtype)
+    return jnp.stack(rows)
+
+
+def _pack_ints(**values) -> jax.Array:
+    rows = [None] * N_INT
+    for name, idx in INT_SLOTS.items():
+        rows[idx] = jnp.asarray(values[name]).astype(jnp.int32)
+    return jnp.stack(rows)
+
+
+def _pack_vecs(cfg: NutsConfig, **values) -> jax.Array:
+    n = n_vec_rows(cfg)
+    rows = [None] * n
+    for name, idx in VEC_SLOTS.items():
+        rows[idx] = values[name]
+    if cfg.store_divergences:
+        for name, idx in DIV_SLOTS.items():
+            rows[idx] = values[name]
+    return jnp.stack(rows)
+
+
 def start_draw(
     cfg: NutsConfig,
     sched: Schedule,
@@ -300,8 +345,11 @@ def start_draw(
     jitter_u: jax.Array,
 ) -> NutsMachineState:
     """Refresh momentum and reset trajectory/subtree state for a new draw."""
-    dtype = state.position.dtype
+    dtype = state.vecs.dtype
     adapt = state.adapt
+    position = state.position
+    gradient = state.gradient
+    logp = state.logp
     tuning = state.draw_idx < sched.num_tune
     log_eps = jnp.where(tuning, adapt.da.log_step, adapt.da.log_step_bar)
     eps = jnp.exp(log_eps)
@@ -309,46 +357,59 @@ def start_draw(
         eps = eps * (1.0 + cfg.adapt.step_size_jitter * (2.0 * jitter_u - 1.0))
     p0 = metric_momentum(cfg, adapt, gauss)
     ke = 0.5 * jnp.dot(p0, metric_velocity(cfg, adapt, p0))
-    h0 = -state.logp + ke
-    dim = state.position.shape[-1]
+    h0 = -logp + ke
+    dim = position.shape[-1]
     nan_vec = jnp.full((dim,), jnp.nan, dtype)
-    return state._replace(
-        eps=eps.astype(dtype),
-        h0=h0,
-        z_minus=state.position,
-        p_minus=p0,
-        g_minus=state.gradient,
-        z_plus=state.position,
-        p_plus=p0,
-        g_plus=state.gradient,
+    zero_s = jnp.zeros((), dtype)
+    zero_i = jnp.zeros((), jnp.int32)
+    vec_values = dict(
+        z_minus=position, p_minus=p0, g_minus=gradient,
+        z_plus=position, p_plus=p0, g_plus=gradient,
         rho=p0,
-        logw_traj=jnp.zeros((), dtype),
-        prop_z=state.position,
-        prop_g=state.gradient,
-        prop_logp=state.logp,
-        prop_energy=h0,
-        prop_idx=jnp.zeros((), jnp.int32),
-        depth=jnp.zeros((), jnp.int32),
-        direction=jnp.ones((), jnp.int32),
-        left_idx=jnp.zeros((), jnp.int32),
-        right_idx=jnp.zeros((), jnp.int32),
-        sum_acc=jnp.zeros((), dtype),
-        n_leaves=jnp.zeros((), jnp.int32),
-        diverging=jnp.zeros((), bool),
-        n_leaf=jnp.zeros((), jnp.int32),
         rho_sub=jnp.zeros((dim,), dtype),
-        logw_sub=jnp.full((), -jnp.inf, dtype),
-        sprop_z=state.position,
-        sprop_g=state.gradient,
-        sprop_logp=state.logp,
-        sprop_energy=h0,
-        sprop_idx=jnp.zeros((), jnp.int32),
-        turning_sub=jnp.zeros((), bool),
-        ckpt_top=jnp.zeros((), jnp.int32),
-        div_start=nan_vec,
-        div_start_grad=nan_vec,
-        div_end=nan_vec,
-        div_mom=nan_vec,
+        prop_z=position, prop_g=gradient,
+        sprop_z=position, sprop_g=gradient,
+        position=position, gradient=gradient,
+    )
+    if cfg.store_divergences:
+        vec_values.update(
+            div_start=nan_vec, div_start_grad=nan_vec,
+            div_end=nan_vec, div_mom=nan_vec,
+        )
+    return state._replace(
+        vecs=_pack_vecs(cfg, **vec_values),
+        flts=_pack_flts(
+            dtype,
+            logp=logp,
+            eps=eps,
+            h0=h0,
+            logw_traj=zero_s,
+            prop_logp=logp,
+            prop_energy=h0,
+            logw_sub=-jnp.inf,
+            sprop_logp=logp,
+            sprop_energy=h0,
+            sum_acc=zero_s,
+            ke_minus=zero_s,
+            ke_plus=zero_s,
+        ),
+        ints=_pack_ints(
+            draw_idx=state.draw_idx,
+            prop_idx=zero_i,
+            depth=zero_i,
+            direction=jnp.ones((), jnp.int32),
+            left_idx=zero_i,
+            right_idx=zero_i,
+            n_leaves=zero_i,
+            n_leaf=zero_i,
+            sprop_idx=zero_i,
+            ckpt_top=zero_i,
+            total_steps=state.total_steps,
+            divergence_count=state.divergence_count,
+            diverging=zero_i,
+            turning_sub=zero_i,
+            done=state.ints[INT_SLOTS["done"]],
+        ),
     )
 
 
@@ -365,6 +426,8 @@ def init_machine_state(
     # checkpoint stack: a subtree of size 2^depth uses slots 0..depth-1 with
     # depth <= maxdepth-1; slot D-1 additionally stashes the old edge momentum
     D = max(cfg.maxdepth, 2)
+    position = position.astype(dtype)
+    gradient = gradient.astype(dtype)
     zvec = jnp.zeros((dim,), dtype)
     nan_vec = jnp.full((dim,), jnp.nan, dtype)
     zs = jnp.zeros((), dtype)
@@ -385,38 +448,40 @@ def init_machine_state(
             flow=init_flow_params(cfg.flow, dim, chain_key, dtype),
             flow_updates=zi,
         )
-    return NutsMachineState(
-        rng_key=chain_key,
-        position=position.astype(dtype),
-        gradient=gradient.astype(dtype),
-        logp=logp.astype(dtype),
-        draw_idx=zi,
-        adapt=adapt,
-        total_steps=zi,
-        divergence_count=zi,
-        done=jnp.zeros((), bool),
-        eps=jnp.asarray(cfg.adapt.initial_step, dtype),
-        h0=zs,
+    vec_values = dict(
         z_minus=zvec, p_minus=zvec, g_minus=zvec,
         z_plus=zvec, p_plus=zvec, g_plus=zvec,
-        rho=zvec,
-        logw_traj=zs,
-        prop_z=zvec, prop_g=zvec, prop_logp=zs, prop_energy=zs, prop_idx=zi,
-        depth=zi,
-        direction=jnp.ones((), jnp.int32),
-        left_idx=zi, right_idx=zi,
-        sum_acc=zs, n_leaves=zi,
-        diverging=jnp.zeros((), bool),
-        n_leaf=zi,
-        rho_sub=zvec,
-        logw_sub=jnp.full((), -jnp.inf, dtype),
-        sprop_z=zvec, sprop_g=zvec, sprop_logp=zs, sprop_energy=zs, sprop_idx=zi,
-        turning_sub=jnp.zeros((), bool),
+        rho=zvec, rho_sub=zvec,
+        prop_z=zvec, prop_g=zvec,
+        sprop_z=zvec, sprop_g=zvec,
+        position=position, gradient=gradient,
+    )
+    if cfg.store_divergences:
+        vec_values.update(
+            div_start=nan_vec, div_start_grad=nan_vec,
+            div_end=nan_vec, div_mom=nan_vec,
+        )
+    return NutsMachineState(
+        rng_key=chain_key,
+        adapt=adapt,
+        vecs=_pack_vecs(cfg, **vec_values),
         ckpt_p=jnp.zeros((D, dim), dtype),
         ckpt_s=jnp.zeros((D, dim), dtype),
-        ckpt_top=zi,
-        div_start=nan_vec, div_start_grad=nan_vec,
-        div_end=nan_vec, div_mom=nan_vec,
+        flts=_pack_flts(
+            dtype,
+            logp=logp.astype(dtype),
+            eps=jnp.asarray(cfg.adapt.initial_step, dtype),
+            h0=zs, logw_traj=zs, prop_logp=zs, prop_energy=zs,
+            logw_sub=-jnp.inf, sprop_logp=zs, sprop_energy=zs,
+            sum_acc=zs, ke_minus=zs, ke_plus=zs,
+        ),
+        ints=_pack_ints(
+            draw_idx=zi, prop_idx=zi, depth=zi,
+            direction=jnp.ones((), jnp.int32),
+            left_idx=zi, right_idx=zi, n_leaves=zi, n_leaf=zi,
+            sprop_idx=zi, ckpt_top=zi, total_steps=zi,
+            divergence_count=zi, diverging=zi, turning_sub=zi, done=zi,
+        ),
     )
 
 
@@ -443,18 +508,63 @@ def machine_step(
     (used for post-warmup chunks: the adaptation state is a large fraction
     of per-step memory traffic).
     """
-    dtype = s.position.dtype
-    active = ~s.done
+    dtype = s.vecs.dtype
     D = s.ckpt_p.shape[0]
 
+    # ------------------------------------------------ unpack packed state
+    V, F, I = VEC_SLOTS, FLT_SLOTS, INT_SLOTS
+    in_z_minus = s.vecs[V["z_minus"]]
+    in_p_minus = s.vecs[V["p_minus"]]
+    in_g_minus = s.vecs[V["g_minus"]]
+    in_z_plus = s.vecs[V["z_plus"]]
+    in_p_plus = s.vecs[V["p_plus"]]
+    in_g_plus = s.vecs[V["g_plus"]]
+    in_rho = s.vecs[V["rho"]]
+    in_rho_sub = s.vecs[V["rho_sub"]]
+    in_prop_z = s.vecs[V["prop_z"]]
+    in_prop_g = s.vecs[V["prop_g"]]
+    in_sprop_z = s.vecs[V["sprop_z"]]
+    in_sprop_g = s.vecs[V["sprop_g"]]
+    in_position = s.vecs[V["position"]]
+    in_gradient = s.vecs[V["gradient"]]
+
+    in_logp = s.flts[F["logp"]]
+    in_eps = s.flts[F["eps"]]
+    in_h0 = s.flts[F["h0"]]
+    in_logw_traj = s.flts[F["logw_traj"]]
+    in_prop_logp = s.flts[F["prop_logp"]]
+    in_prop_energy = s.flts[F["prop_energy"]]
+    in_logw_sub = s.flts[F["logw_sub"]]
+    in_sprop_logp = s.flts[F["sprop_logp"]]
+    in_sprop_energy = s.flts[F["sprop_energy"]]
+    in_sum_acc = s.flts[F["sum_acc"]]
+
+    in_draw_idx = s.ints[I["draw_idx"]]
+    in_prop_idx = s.ints[I["prop_idx"]]
+    in_depth = s.ints[I["depth"]]
+    in_direction = s.ints[I["direction"]]
+    in_left_idx = s.ints[I["left_idx"]]
+    in_right_idx = s.ints[I["right_idx"]]
+    in_n_leaves = s.ints[I["n_leaves"]]
+    in_n_leaf = s.ints[I["n_leaf"]]
+    in_sprop_idx = s.ints[I["sprop_idx"]]
+    in_ckpt_top = s.ints[I["ckpt_top"]]
+    in_total_steps = s.ints[I["total_steps"]]
+    in_divergence_count = s.ints[I["divergence_count"]]
+    in_diverging = s.ints[I["diverging"]] > 0
+    in_turning_sub = s.ints[I["turning_sub"]] > 0
+    in_done = s.ints[I["done"]] > 0
+
+    active = ~in_done
+
     # ------------------------------------------------ scalar randomness
-    ku = jax.random.fold_in(jax.random.fold_in(s.rng_key, 3), s.total_steps)
+    ku = jax.random.fold_in(jax.random.fold_in(s.rng_key, 3), in_total_steps)
     u3 = jax.random.uniform(ku, (3,), jnp.float32).astype(dtype)
 
     # ------------------------------------------------ doubling start
-    at_start = s.n_leaf == 0
+    at_start = in_n_leaf == 0
     new_dir = jnp.where(u3[0] < 0.5, -1, 1).astype(jnp.int32)
-    direction = jnp.where(at_start, new_dir, s.direction)
+    direction = jnp.where(at_start, new_dir, in_direction)
     fwd = direction > 0
 
     # Momentum of the old trajectory's end on the integration side, needed for
@@ -462,17 +572,17 @@ def machine_step(
     # overwritten during subtree integration, so capture it at doubling start
     # in checkpoint slot D-1, which the stack never reaches: a subtree of
     # size 2^depth uses stack indices 0..depth-1 and depth <= maxdepth-1.
-    edge_p_old = jnp.where(fwd, s.p_plus, s.p_minus)
+    edge_p_old = jnp.where(fwd, in_p_plus, in_p_minus)
     ckpt_p = masked_row_write(
         s.ckpt_p, jnp.int32(D - 1), at_start & active, edge_p_old
     )
     ckpt_s = s.ckpt_s
 
     # ------------------------------------------------ leapfrog (1 gradient)
-    z_e = jnp.where(fwd, s.z_plus, s.z_minus)
-    p_e = jnp.where(fwd, s.p_plus, s.p_minus)
-    g_e = jnp.where(fwd, s.g_plus, s.g_minus)
-    eps_s = direction.astype(dtype) * s.eps
+    z_e = jnp.where(fwd, in_z_plus, in_z_minus)
+    p_e = jnp.where(fwd, in_p_plus, in_p_minus)
+    g_e = jnp.where(fwd, in_g_plus, in_g_minus)
+    eps_s = direction.astype(dtype) * in_eps
     p_half = p_e + 0.5 * eps_s * g_e
     z_new = z_e + eps_s * metric_velocity(cfg, s.adapt, p_half)
     logp_new, g_new = logp_and_grad(z_new, s.adapt)
@@ -484,38 +594,38 @@ def machine_step(
     h = -logp_new + ke
 
     # ------------------------------------------------ leaf processing
-    n = s.n_leaf + 1
-    e_err = h - s.h0
+    n = in_n_leaf + 1
+    e_err = h - in_h0
     finite = jnp.isfinite(e_err)
     div_leaf = (~finite) | (e_err > cfg.max_energy_error)
     lw = jnp.where(div_leaf, -jnp.inf, -e_err)
     acc = jnp.where(finite, jnp.exp(jnp.minimum(jnp.zeros((), dtype), -e_err)), 0.0)
 
-    sum_acc = _w(active, s.sum_acc + acc, s.sum_acc)
-    n_leaves = _w(active, s.n_leaves + 1, s.n_leaves)
-    total_steps = _w(active, s.total_steps + 1, s.total_steps)
+    sum_acc = _w(active, in_sum_acc + acc, in_sum_acc)
+    n_leaves = _w(active, in_n_leaves + 1, in_n_leaves)
+    total_steps = _w(active, in_total_steps + 1, in_total_steps)
 
-    abs_idx = jnp.where(fwd, s.right_idx + 1, s.left_idx - 1)
-    right_idx = _w(active & fwd, s.right_idx + 1, s.right_idx)
-    left_idx = _w(active & ~fwd, s.left_idx - 1, s.left_idx)
+    abs_idx = jnp.where(fwd, in_right_idx + 1, in_left_idx - 1)
+    right_idx = _w(active & fwd, in_right_idx + 1, in_right_idx)
+    left_idx = _w(active & ~fwd, in_left_idx - 1, in_left_idx)
 
     # progressive multinomial within the subtree
-    logw_sub_new = jnp.logaddexp(s.logw_sub, lw)
+    logw_sub_new = jnp.logaddexp(in_logw_sub, lw)
     take = jnp.log(u3[1]) < (lw - logw_sub_new)
     take = jnp.where(jnp.isnan(lw - logw_sub_new), False, take)
     m_take = active & take
-    sprop_z = _w(m_take, z_new, s.sprop_z)
-    sprop_g = _w(m_take, g_new, s.sprop_g)
-    sprop_logp = _w(m_take, logp_new, s.sprop_logp)
-    sprop_energy = _w(m_take, h, s.sprop_energy)
-    sprop_idx = _w(m_take, abs_idx, s.sprop_idx)
+    sprop_z = _w(m_take, z_new, in_sprop_z)
+    sprop_g = _w(m_take, g_new, in_sprop_g)
+    sprop_logp = _w(m_take, logp_new, in_sprop_logp)
+    sprop_energy = _w(m_take, h, in_sprop_energy)
+    sprop_idx = _w(m_take, abs_idx, in_sprop_idx)
 
-    rho_sub_pre = s.rho_sub
+    rho_sub_pre = in_rho_sub
     rho_sub_new = rho_sub_pre + p_new
 
     # checkpoint stack: push at odd leaves, check+pop at even leaves
     odd = (n % 2) == 1
-    top = s.ckpt_top
+    top = in_ckpt_top
     push = active & odd
     ckpt_p = masked_row_write(ckpt_p, top, push, p_new)
     ckpt_s = masked_row_write(ckpt_s, top, push, rho_sub_pre)
@@ -533,46 +643,46 @@ def machine_step(
         d_b = rho_ab @ v_new
         turn_vec = (d_a <= 0) | (d_b <= 0)
         turning_here = jnp.any(turn_vec & slot_mask)
-        turning_sub = s.turning_sub | (even & turning_here)
+        turning_sub_mid = in_turning_sub | (even & turning_here)
     else:
-        turning_sub = s.turning_sub
+        turning_sub_mid = in_turning_sub
     top_new = jnp.where(even, top_after_push - jnp.maximum(tz - 1, 0), top_after_push)
 
     # ------------------------------------------------ subtree completion
-    subtree_size = jax.lax.shift_left(jnp.ones((), jnp.int32), s.depth)
+    subtree_size = jax.lax.shift_left(jnp.ones((), jnp.int32), in_depth)
     full = n >= subtree_size
-    sub_invalid = div_leaf | turning_sub
+    sub_invalid = div_leaf | turning_sub_mid
     sub_done = active & (full | sub_invalid)
     merge_ok = sub_done & ~sub_invalid
 
     # biased progressive sampling at the merge
-    log_ratio = logw_sub_new - s.logw_traj
+    log_ratio = logw_sub_new - in_logw_traj
     take2 = jnp.log(u3[2]) < log_ratio
     take2 = jnp.where(jnp.isnan(log_ratio), False, take2)
     m_take2 = merge_ok & take2
-    prop_z = _w(m_take2, sprop_z, s.prop_z)
-    prop_g = _w(m_take2, sprop_g, s.prop_g)
-    prop_logp = _w(m_take2, sprop_logp, s.prop_logp)
-    prop_energy = _w(m_take2, sprop_energy, s.prop_energy)
-    prop_idx = _w(m_take2, sprop_idx, s.prop_idx)
+    prop_z = _w(m_take2, sprop_z, in_prop_z)
+    prop_g = _w(m_take2, sprop_g, in_prop_g)
+    prop_logp = _w(m_take2, sprop_logp, in_prop_logp)
+    prop_energy = _w(m_take2, sprop_energy, in_prop_energy)
+    prop_idx = _w(m_take2, sprop_idx, in_prop_idx)
 
-    logw_traj = _w(merge_ok, jnp.logaddexp(s.logw_traj, logw_sub_new), s.logw_traj)
-    rho_full = s.rho + rho_sub_new
-    rho = _w(merge_ok, rho_full, s.rho)
+    logw_traj = _w(merge_ok, jnp.logaddexp(in_logw_traj, logw_sub_new), in_logw_traj)
+    rho_full = in_rho + rho_sub_new
+    rho = _w(merge_ok, rho_full, in_rho)
 
     # U-turn checks on the merged trajectory (main + Stan-style cross checks)
     if cfg.check_turning:
-        far_p = jnp.where(fwd, s.p_minus, s.p_plus)
+        far_p = jnp.where(fwd, in_p_minus, in_p_plus)
         first_new_p = ckpt_p[0]
         edge_old_p = ckpt_p[D - 1]
         v_far = metric_velocity(cfg, s.adapt, far_p)
         v_first_new = metric_velocity(cfg, s.adapt, first_new_p)
         v_edge_old = metric_velocity(cfg, s.adapt, edge_old_p)
         t1 = _turn(rho_full, v_far, v_new)
-        t2 = _turn(s.rho + first_new_p, v_far, v_first_new)
+        t2 = _turn(in_rho + first_new_p, v_far, v_first_new)
         t3 = _turn(rho_sub_new + edge_old_p, v_edge_old, v_new)
         turning_traj = merge_ok & (t1 | t2 | t3)
-        turning_traj &= (s.depth + 1) >= cfg.mindepth
+        turning_traj &= (in_depth + 1) >= cfg.mindepth
     else:
         turning_traj = jnp.zeros((), bool)
 
@@ -580,48 +690,49 @@ def machine_step(
         # dynamic per-draw doubling limit: first depth whose integration time
         # 2^depth * eps covers the target, plus extra_doublings
         req = jnp.ceil(
-            jnp.log2(jnp.maximum(cfg.target_time / s.eps, 1.0))
+            jnp.log2(jnp.maximum(cfg.target_time / in_eps, 1.0))
         ).astype(jnp.int32) + cfg.extra_doublings
         depth_limit = jnp.clip(req, max(cfg.mindepth, 1), cfg.maxdepth)
     else:
         depth_limit = cfg.maxdepth
-    ended_by_depth = merge_ok & ((s.depth + 1) >= depth_limit)
+    ended_by_depth = merge_ok & ((in_depth + 1) >= depth_limit)
     draw_done = sub_done & (sub_invalid | turning_traj | ended_by_depth)
 
     # next doubling (when merged and continuing)
     next_doubling = merge_ok & ~draw_done
-    depth = _w(next_doubling, s.depth + 1, s.depth)
-    n_leaf = _w(active, jnp.where(next_doubling, 0, n), s.n_leaf)
-    rho_sub = _w(active, jnp.where(next_doubling, jnp.zeros_like(rho_sub_new), rho_sub_new), s.rho_sub)
-    logw_sub = _w(active, jnp.where(next_doubling, -jnp.inf, logw_sub_new), s.logw_sub)
-    turning_sub = _w(active, jnp.where(next_doubling, False, turning_sub), s.turning_sub)
+    depth = _w(next_doubling, in_depth + 1, in_depth)
+    n_leaf = _w(active, jnp.where(next_doubling, 0, n), in_n_leaf)
+    rho_sub = _w(active, jnp.where(next_doubling, jnp.zeros_like(rho_sub_new), rho_sub_new), in_rho_sub)
+    logw_sub = _w(active, jnp.where(next_doubling, -jnp.inf, logw_sub_new), in_logw_sub)
+    turning_sub = _w(active, jnp.where(next_doubling, False, turning_sub_mid), in_turning_sub)
     top_new = jnp.where(next_doubling, 0, top_new)
-    ckpt_top = _w(active, top_new, s.ckpt_top)
+    ckpt_top = _w(active, top_new, in_ckpt_top)
 
     # edge updates from the leapfrog
-    z_plus = _w(active & fwd, z_new, s.z_plus)
-    p_plus = _w(active & fwd, p_new, s.p_plus)
-    g_plus = _w(active & fwd, g_new, s.g_plus)
-    z_minus = _w(active & ~fwd, z_new, s.z_minus)
-    p_minus = _w(active & ~fwd, p_new, s.p_minus)
-    g_minus = _w(active & ~fwd, g_new, s.g_minus)
+    z_plus = _w(active & fwd, z_new, in_z_plus)
+    p_plus = _w(active & fwd, p_new, in_p_plus)
+    g_plus = _w(active & fwd, g_new, in_g_plus)
+    z_minus = _w(active & ~fwd, z_new, in_z_minus)
+    p_minus = _w(active & ~fwd, p_new, in_p_minus)
+    g_minus = _w(active & ~fwd, g_new, in_g_minus)
 
     # divergence location info
-    m_div = active & div_leaf
-    div_start = _w(m_div, z_e, s.div_start)
-    div_start_grad = _w(m_div, g_e, s.div_start_grad)
-    div_end = _w(m_div, z_new, s.div_end)
-    div_mom = _w(m_div, p_e, s.div_mom)
+    if cfg.store_divergences:
+        m_div = active & div_leaf
+        div_start = _w(m_div, z_e, s.vecs[DIV_SLOTS["div_start"]])
+        div_start_grad = _w(m_div, g_e, s.vecs[DIV_SLOTS["div_start_grad"]])
+        div_end = _w(m_div, z_new, s.vecs[DIV_SLOTS["div_end"]])
+        div_mom = _w(m_div, p_e, s.vecs[DIV_SLOTS["div_mom"]])
 
-    diverging = _w(active, s.diverging | div_leaf, s.diverging)
+    diverging = _w(active, in_diverging | div_leaf, in_diverging)
 
     # ------------------------------------------------ draw completion
-    idx = s.draw_idx - chunk_start
+    idx = in_draw_idx - chunk_start
     idx_c = jnp.clip(idx, 0, mom_gauss.shape[0] - 1)
-    depth_stat = s.depth + 1
+    depth_stat = in_depth + 1
     accept_mean = sum_acc / jnp.maximum(n_leaves, 1).astype(dtype)
     md_reached = ended_by_depth & ~turning_traj
-    tuning = s.draw_idx < sched.num_tune
+    tuning = in_draw_idx < sched.num_tune
     step_size_bar = jnp.exp(s.adapt.da.log_step_bar)
 
     # Masked buffer writes go through the backend-aware row writer (batched
@@ -643,7 +754,7 @@ def machine_step(
         ("depth", depth_stat),
         ("maxdepth_reached", md_reached),
         ("diverging", diverging),
-        ("step_size", s.eps),
+        ("step_size", in_eps),
         ("step_size_bar", step_size_bar),
         ("n_steps", n_leaves),
         ("mean_tree_accept", accept_mean),
@@ -658,10 +769,22 @@ def machine_step(
         scalars=write(bufs.scalars, scalar_row),
         gradient=write(bufs.gradient, prop_g),
         mass_matrix_inv=write(bufs.mass_matrix_inv, s.adapt.inv_mass),
-        divergence_start=write(bufs.divergence_start, div_start),
-        divergence_end=write(bufs.divergence_end, div_end),
-        divergence_momentum=write(bufs.divergence_momentum, div_mom),
-        divergence_start_gradient=write(bufs.divergence_start_gradient, div_start_grad),
+        divergence_start=(
+            write(bufs.divergence_start, div_start)
+            if cfg.store_divergences else None
+        ),
+        divergence_end=(
+            write(bufs.divergence_end, div_end)
+            if cfg.store_divergences else None
+        ),
+        divergence_momentum=(
+            write(bufs.divergence_momentum, div_mom)
+            if cfg.store_divergences else None
+        ),
+        divergence_start_gradient=(
+            write(bufs.divergence_start_gradient, div_start_grad)
+            if cfg.store_divergences else None
+        ),
         transformed_position=write(bufs.transformed_position, prop_z),
         transformed_gradient=write(bufs.transformed_gradient, prop_g),
         transformation_mu=(
@@ -679,14 +802,14 @@ def machine_step(
         adapt = s.adapt
     else:
         adapt_new = diag_adapt_update(
-            cfg.adapt, sched, s.adapt, s.draw_idx, prop_z, prop_g, accept_mean,
+            cfg.adapt, sched, s.adapt, in_draw_idx, prop_z, prop_g, accept_mean,
             diverging,
         )
         # window data for low-rank/flow training comes from the chunk's draw
         # buffers at chunk boundaries (run.py) -- no per-step window writes
         adapt = tree_where(draw_done & tuning, adapt_new, s.adapt)
         # at the end of tuning, freeze the step size at its averaged value
-        end_of_tuning = draw_done & (s.draw_idx == sched.num_tune - 1)
+        end_of_tuning = draw_done & (in_draw_idx == sched.num_tune - 1)
         adapt = adapt._replace(
             da=adapt.da._replace(
                 log_step=jnp.where(
@@ -695,39 +818,62 @@ def machine_step(
             )
         )
 
-    divergence_count = _w(draw_done & diverging, s.divergence_count + 1, s.divergence_count)
-    draw_idx = _w(draw_done, s.draw_idx + 1, s.draw_idx)
-    done = s.done | (draw_done & (idx + 1 >= limit))
+    divergence_count = _w(draw_done & diverging, in_divergence_count + 1, in_divergence_count)
+    draw_idx = _w(draw_done, in_draw_idx + 1, in_draw_idx)
+    done = in_done | (draw_done & (idx + 1 >= limit))
 
-    state = s._replace(
-        position=_w(draw_done, prop_z, s.position),
-        gradient=_w(draw_done, prop_g, s.gradient),
-        logp=_w(draw_done, prop_logp, s.logp),
-        draw_idx=draw_idx,
-        adapt=adapt,
-        total_steps=total_steps,
-        divergence_count=divergence_count,
-        done=done,
+    # ------------------------------------------------ reassemble packed state
+    vec_values = dict(
         z_minus=z_minus, p_minus=p_minus, g_minus=g_minus,
         z_plus=z_plus, p_plus=p_plus, g_plus=g_plus,
-        rho=rho,
-        logw_traj=logw_traj,
-        prop_z=prop_z, prop_g=prop_g, prop_logp=prop_logp,
-        prop_energy=prop_energy, prop_idx=prop_idx,
-        depth=depth,
-        direction=_w(active, direction, s.direction),
-        left_idx=left_idx, right_idx=right_idx,
-        sum_acc=sum_acc, n_leaves=n_leaves,
-        diverging=diverging,
-        n_leaf=n_leaf,
-        rho_sub=rho_sub,
-        logw_sub=logw_sub,
-        sprop_z=sprop_z, sprop_g=sprop_g, sprop_logp=sprop_logp,
-        sprop_energy=sprop_energy, sprop_idx=sprop_idx,
-        turning_sub=turning_sub,
-        ckpt_p=ckpt_p, ckpt_s=ckpt_s, ckpt_top=ckpt_top,
-        div_start=div_start, div_start_grad=div_start_grad,
-        div_end=div_end, div_mom=div_mom,
+        rho=rho, rho_sub=rho_sub,
+        prop_z=prop_z, prop_g=prop_g,
+        sprop_z=sprop_z, sprop_g=sprop_g,
+        position=_w(draw_done, prop_z, in_position),
+        gradient=_w(draw_done, prop_g, in_gradient),
+    )
+    if cfg.store_divergences:
+        vec_values.update(
+            div_start=div_start, div_start_grad=div_start_grad,
+            div_end=div_end, div_mom=div_mom,
+        )
+    state = s._replace(
+        adapt=adapt,
+        vecs=_pack_vecs(cfg, **vec_values),
+        ckpt_p=ckpt_p,
+        ckpt_s=ckpt_s,
+        flts=_pack_flts(
+            dtype,
+            logp=_w(draw_done, prop_logp, in_logp),
+            eps=in_eps,
+            h0=in_h0,
+            logw_traj=logw_traj,
+            prop_logp=prop_logp,
+            prop_energy=prop_energy,
+            logw_sub=logw_sub,
+            sprop_logp=sprop_logp,
+            sprop_energy=sprop_energy,
+            sum_acc=sum_acc,
+            ke_minus=s.flts[F["ke_minus"]],
+            ke_plus=s.flts[F["ke_plus"]],
+        ),
+        ints=_pack_ints(
+            draw_idx=draw_idx,
+            prop_idx=prop_idx,
+            depth=depth,
+            direction=_w(active, direction, in_direction),
+            left_idx=left_idx,
+            right_idx=right_idx,
+            n_leaves=n_leaves,
+            n_leaf=n_leaf,
+            sprop_idx=sprop_idx,
+            ckpt_top=ckpt_top,
+            total_steps=total_steps,
+            divergence_count=divergence_count,
+            diverging=diverging,
+            turning_sub=turning_sub,
+            done=done,
+        ),
     )
 
     # start the next draw for chains that completed one and aren't done

@@ -35,7 +35,7 @@ from .nuts import (
     machine_step,
     start_draw,
 )
-from .state import NutsMachineState
+from .state import NutsMachineState, state_with
 
 
 def resolve_dtype(precision: str) -> jnp.dtype:
@@ -265,7 +265,7 @@ def make_chunk_runner(model: ModelDef, cfg: NutsConfig, chunk_len: int, dtype,
         bufs = init_buffers(cfg, chunk_len, dim, dtype, n_chains=n_chains)
 
         # every chain begins the chunk at a draw boundary
-        states = states._replace(done=jnp.zeros_like(states.done))
+        states = state_with(states, done=False)
         states = jax.vmap(partial(start_draw, cfg, sched))(
             states, mom_gauss[:, 0], jitter_us[:, 0]
         )
@@ -351,9 +351,9 @@ def make_chunk_runner(model: ModelDef, cfg: NutsConfig, chunk_len: int, dtype,
                     win_draws=win.win_draws, win_grads=win.win_grads,
                     win_valid=win.win_valid,
                 )
-                return state._replace(
-                    adapt=adapt, position=position, gradient=gradient,
-                    logp=logp,
+                return state_with(
+                    state._replace(adapt=adapt),
+                    position=position, gradient=gradient, logp=logp,
                 )
 
             states = jax.vmap(update_flow)(states, bufs)

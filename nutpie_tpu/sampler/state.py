@@ -6,6 +6,14 @@ per-chain state an explicit JAX array batched over a leading chains axis, so
 the whole sampler is a pure function jitted once and sharded over the device
 mesh.  All fields of :class:`NutsMachineState` are per-chain; ``vmap``
 introduces the chains axis.
+
+Memory layout: the ~14 per-chain ``[dim]`` trajectory vectors are packed
+into one ``vecs [NV, dim]`` array, the float scalars into ``flts [NF]`` and
+the integer/boolean scalars into ``ints [NI]``.  A machine step unpacks to
+locals, computes, and reassembles with three stacks -- identical arithmetic
+to a field-per-array layout, but the ``lax.while_loop`` carries ~7 buffers
+instead of ~45, which collapses the per-step kernel count on TPU (each
+carried buffer is a separate HBM round trip per iteration).
 """
 
 from __future__ import annotations
@@ -58,70 +66,145 @@ class DiagAdaptState(NamedTuple):
     grads_bg: WelfordState
 
 
+# ------------------------------------------------------------- slot layouts
+
+# [dim]-vector slots of NutsMachineState.vecs.  The first 12 are trajectory
+# state reset at each draw start; position/gradient persist across draws.
+VEC_SLOTS = {
+    "z_minus": 0,
+    "p_minus": 1,
+    "g_minus": 2,
+    "z_plus": 3,
+    "p_plus": 4,
+    "g_plus": 5,
+    "rho": 6,
+    "rho_sub": 7,
+    "prop_z": 8,
+    "prop_g": 9,
+    "sprop_z": 10,
+    "sprop_g": 11,
+    "position": 12,
+    "gradient": 13,
+}
+# divergence-location rows, appended only when store_divergences is set
+DIV_SLOTS = {
+    "div_start": 14,
+    "div_start_grad": 15,
+    "div_end": 16,
+    "div_mom": 17,
+}
+N_VEC_BASE = 14
+N_VEC_DIV = 18
+
+# float scalar slots of NutsMachineState.flts
+FLT_SLOTS = {
+    "logp": 0,
+    "eps": 1,
+    "h0": 2,
+    "logw_traj": 3,
+    "prop_logp": 4,
+    "prop_energy": 5,
+    "logw_sub": 6,
+    "sprop_logp": 7,
+    "sprop_energy": 8,
+    "sum_acc": 9,
+    # microcanonical kinetic-weight accumulators (unused rows cost nothing
+    # under exact_normal; see nuts.py)
+    "ke_minus": 10,
+    "ke_plus": 11,
+}
+N_FLT = 12
+
+# integer / boolean scalar slots of NutsMachineState.ints (all i32;
+# booleans stored as 0/1)
+INT_SLOTS = {
+    "draw_idx": 0,
+    "prop_idx": 1,
+    "depth": 2,
+    "direction": 3,
+    "left_idx": 4,
+    "right_idx": 5,
+    "n_leaves": 6,
+    "n_leaf": 7,
+    "sprop_idx": 8,
+    "ckpt_top": 9,
+    "total_steps": 10,
+    "divergence_count": 11,
+    "diverging": 12,
+    "turning_sub": 13,
+    "done": 14,
+}
+N_INT = 15
+
+
 class NutsMachineState(NamedTuple):
     """Complete per-chain state of the flattened NUTS state machine.
 
-    One :func:`machine_step` advances every chain by exactly one leapfrog
-    step; doubling/merge/draw-completion bookkeeping happens inline (masked)
-    so chains never wait for each other at draw boundaries -- only at chunk
-    boundaries ("Efficiently Vectorized MCMC on Modern Accelerators",
-    arXiv:2503.17405, informs this design).
+    One :func:`nuts.machine_step` advances every chain by exactly one
+    leapfrog step; doubling/merge/draw-completion bookkeeping happens inline
+    (masked) so chains never wait for each other at draw boundaries -- only
+    at chunk boundaries ("Efficiently Vectorized MCMC on Modern
+    Accelerators", arXiv:2503.17405, informs this design).
     """
 
-    # --- persistent chain state ---
     rng_key: jax.Array
-    position: jax.Array   # [dim] last accepted draw (unconstrained)
-    gradient: jax.Array   # [dim]
-    logp: jax.Array
-    draw_idx: jax.Array   # global draw index currently being generated (i32)
     adapt: DiagAdaptState
-    total_steps: jax.Array       # cumulative leapfrog count (i64-ish via f or i32)
-    divergence_count: jax.Array  # i32
-    done: jax.Array              # bool: finished this chunk
+    vecs: jax.Array    # [NV, dim] packed vectors (slots: VEC_SLOTS/DIV_SLOTS)
+    ckpt_p: jax.Array  # [maxdepth, dim] momentum at checkpoint leaves
+    ckpt_s: jax.Array  # [maxdepth, dim] momentum prefix-sum before ckpt leaf
+    flts: jax.Array    # [N_FLT] packed float scalars (slots: FLT_SLOTS)
+    ints: jax.Array    # [N_INT] packed i32 scalars (slots: INT_SLOTS)
 
-    # --- trajectory state (reset at each draw start) ---
-    eps: jax.Array        # step size for this draw (after jitter)
-    h0: jax.Array         # energy at trajectory start
-    z_minus: jax.Array
-    p_minus: jax.Array
-    g_minus: jax.Array
-    z_plus: jax.Array
-    p_plus: jax.Array
-    g_plus: jax.Array
-    rho: jax.Array        # [dim] momentum sum over whole trajectory
-    logw_traj: jax.Array  # log sum of multinomial weights of trajectory
-    prop_z: jax.Array
-    prop_g: jax.Array
-    prop_logp: jax.Array
-    prop_energy: jax.Array
-    prop_idx: jax.Array   # signed index in trajectory (i32)
-    depth: jax.Array      # current doubling index (subtree size 2^depth)
-    direction: jax.Array  # +-1 (i32)
-    left_idx: jax.Array   # absolute leaf index of left end (i32, <= 0)
-    right_idx: jax.Array  # absolute leaf index of right end (i32, >= 0)
-    sum_acc: jax.Array    # accumulated acceptance probabilities
-    n_leaves: jax.Array   # leapfrog steps in this draw (i32)
-    diverging: jax.Array  # bool
+    # -- read accessors used outside the machine step (run.py / sample.py /
+    #    checkpoint.py); `...` indexing works per-chain and batched alike
+    @property
+    def position(self):
+        return self.vecs[..., VEC_SLOTS["position"], :]
 
-    # --- subtree state (reset at each doubling) ---
-    n_leaf: jax.Array     # leaves completed in current subtree (i32)
-    rho_sub: jax.Array    # [dim]
-    logw_sub: jax.Array
-    sprop_z: jax.Array
-    sprop_g: jax.Array
-    sprop_logp: jax.Array
-    sprop_energy: jax.Array
-    sprop_idx: jax.Array
-    turning_sub: jax.Array  # bool
-    ckpt_p: jax.Array     # [maxdepth, dim] momentum at checkpoint leaves
-    ckpt_s: jax.Array     # [maxdepth, dim] momentum prefix-sum before ckpt leaf
-    ckpt_top: jax.Array   # i32 stack pointer
+    @property
+    def gradient(self):
+        return self.vecs[..., VEC_SLOTS["gradient"], :]
 
-    # --- divergence location info (last divergence in this chunk) ---
-    div_start: jax.Array     # [dim] position where the diverging leapfrog began
-    div_start_grad: jax.Array
-    div_end: jax.Array       # [dim] position it produced
-    div_mom: jax.Array       # [dim] momentum at divergence start
+    @property
+    def logp(self):
+        return self.flts[..., FLT_SLOTS["logp"]]
+
+    @property
+    def eps(self):
+        return self.flts[..., FLT_SLOTS["eps"]]
+
+    @property
+    def draw_idx(self):
+        return self.ints[..., INT_SLOTS["draw_idx"]]
+
+    @property
+    def total_steps(self):
+        return self.ints[..., INT_SLOTS["total_steps"]]
+
+    @property
+    def divergence_count(self):
+        return self.ints[..., INT_SLOTS["divergence_count"]]
+
+    @property
+    def done(self):
+        return self.ints[..., INT_SLOTS["done"]] > 0
+
+
+def state_with(state: NutsMachineState, *, position=None, gradient=None,
+               logp=None, done=None) -> NutsMachineState:
+    """Targeted writes into the packed state (chunk-boundary updates)."""
+    vecs, flts, ints = state.vecs, state.flts, state.ints
+    if position is not None:
+        vecs = vecs.at[..., VEC_SLOTS["position"], :].set(position)
+    if gradient is not None:
+        vecs = vecs.at[..., VEC_SLOTS["gradient"], :].set(gradient)
+    if logp is not None:
+        flts = flts.at[..., FLT_SLOTS["logp"]].set(logp)
+    if done is not None:
+        ints = ints.at[..., INT_SLOTS["done"]].set(
+            jnp.asarray(done, jnp.int32)
+        )
+    return state._replace(vecs=vecs, flts=flts, ints=ints)
 
 
 def tree_where(pred: jax.Array, a, b):

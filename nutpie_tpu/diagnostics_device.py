@@ -25,14 +25,31 @@ def _split_chains(x: jax.Array) -> jax.Array:
 
 def _rank_normalize(x: jax.Array) -> jax.Array:
     # Average ranks for ties (matches scipy rankdata(method="average") used
-    # by the host implementation): rank(x) = ((#<x) + (#<=x) + 1) / 2.
+    # by the host implementation).  Implemented with sort + run-boundary
+    # scans + gather: jnp.searchsorted at multi-million-element sizes
+    # crashes the XLA:TPU worker (observed at [4096, 1500] bench buffers),
+    # and scatter-based alternatives hit the known batched-scatter
+    # miscompile (ops/row_write.py), so neither appears here.
     shape = x.shape
     flat = x.reshape(-1)
-    sorted_v = jnp.sort(flat)
-    lo = jnp.searchsorted(sorted_v, flat, side="left")
-    hi = jnp.searchsorted(sorted_v, flat, side="right")
-    ranks = (lo + hi + 1) * 0.5
-    z = ndtri((ranks - 0.375) / (flat.size + 0.25))
+    n = flat.size
+    order = jnp.argsort(flat)
+    sv = flat[order]
+    idx = jnp.arange(n)
+    # first/last index of each run of equal values, broadcast over the run
+    run_start = jnp.concatenate(
+        [jnp.ones((1,), bool), sv[1:] != sv[:-1]]
+    )
+    first = jax.lax.cummax(jnp.where(run_start, idx, 0))
+    run_end = jnp.concatenate([run_start[1:], jnp.ones((1,), bool)])
+    last = jnp.flip(
+        jax.lax.cummin(jnp.flip(jnp.where(run_end, idx, n - 1)))
+    )
+    # 1-based average rank of every element, in sorted order
+    avg_rank_sorted = 0.5 * (first + last).astype(flat.dtype) + 1.0
+    # un-permute by gather (inverse permutation via a second argsort)
+    ranks = avg_rank_sorted[jnp.argsort(order)]
+    z = ndtri((ranks - 0.375) / (n + 0.25))
     return z.reshape(shape)
 
 

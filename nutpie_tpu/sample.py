@@ -112,6 +112,7 @@ def _nuts_config_from_settings(
         maxdepth=settings.maxdepth,
         mindepth=settings.mindepth,
         check_turning=settings.check_turning,
+        kinetic=settings.trajectory_kind,
         target_time=settings.target_integration_time,
         extra_doublings=settings.extra_doublings,
         max_energy_error=settings.max_energy_error,
@@ -442,13 +443,26 @@ class _BackgroundSampler:
             def expand(positions, chunk_start):
                 return _ex(positions)
 
+        # resume BEFORE building the zarr sink: the sink's layout appends
+        # from the resumed draw offset (offset-aligned; trailing partial
+        # chunks are read back from the store and re-buffered)
+        start = 0
+        ckpt_meta = {"seed": self._seed, "settings": self._settings.as_dict()}
+        if self._resume_from is not None:
+            from .checkpoint import load_state
+
+            states, start, meta = load_state(self._resume_from, states)
+            self._resume_offset = start
+            if meta.get("seed") != self._seed:
+                import warnings
+
+                warnings.warn(
+                    "resuming a run that was started with a different seed",
+                    stacklevel=2,
+                )
+
         sink = None
         if self._zarr_store is not None:
-            if self._resume_from is not None:
-                raise NotImplementedError(
-                    "resume_from cannot yet be combined with zarr_store "
-                    "(the store would need offset-aligned appends)"
-                )
             from .storage.sink import ZarrTraceSink
 
             sink = ZarrTraceSink(
@@ -458,6 +472,7 @@ class _BackgroundSampler:
                 num_draws=self._num_draws,
                 save_warmup=self._save_warmup,
                 chunk_draws=min(16, self._chunk_len),
+                start_offset=self._resume_offset,
                 attrs={
                     "inference_library": "nutpie_tpu",
                     "inference_library_version": _version,
@@ -473,20 +488,6 @@ class _BackgroundSampler:
                 model.unconstrained_labels, dtype=object
             )
 
-        start = 0
-        ckpt_meta = {"seed": self._seed, "settings": self._settings.as_dict()}
-        if self._resume_from is not None:
-            from .checkpoint import load_state
-
-            states, start, meta = load_state(self._resume_from, states)
-            self._resume_offset = start
-            if meta.get("seed") != self._seed:
-                import warnings
-
-                warnings.warn(
-                    "resuming a run that was started with a different seed",
-                    stacklevel=2,
-                )
         chunk_idx = 0
         prev_n_steps = None
 

@@ -127,13 +127,23 @@ def dual_avg_update(cfg: AdaptConfig, da: DualAvgState, accept: jax.Array) -> Du
     w = 1.0 / (count + cfg.t0)
     hbar = (1.0 - w) * da.hbar + w * (cfg.target_accept - accept)
     log_step = da.mu - jnp.sqrt(count) / cfg.gamma * hbar
-    # Trust region: cap the per-draw *increase* of the step size.  Right
-    # after a (re)start the first update jumps most of the way to mu, which
-    # with Stan's mu = log(10 eps) spikes the step ~10x and reliably
-    # diverges the next draw (the round-1 radon bench's 26k warmup
-    # divergences all came from this, one per chain per window switch).
-    # Decreases stay unclamped: shrinking out of a divergence is urgent.
-    log_step = jnp.minimum(log_step, da.log_step + jnp.log(2.0))
+    # Trust region with an escape hatch.  Normal operation caps the
+    # per-draw *increase* at x2: right after a (re)start the first update
+    # jumps most of the way to mu, which uncapped spikes the step and
+    # destabilizes warmup (measurably degrades flow-adaptation quality and
+    # caused the round-1 radon divergence storms).  But a chain whose step
+    # CRASHED far below its running average must rebound in O(1) draws: on
+    # TPU every draw it crawls at tiny eps runs a full maxdepth tree (1023
+    # gradient evaluations) that all lockstep chains wait out -- <1% such
+    # stragglers stalled the 2048-chain bench 25x, and their tiny steps
+    # froze into step_size_bar for the whole posterior phase.  The rebound
+    # target mu - sqrt(count)/gamma*hbar stays below mu whenever recent
+    # acceptance was poor, so the free rebound cannot overshoot the spike
+    # regime the cap exists to prevent.  Decreases stay unclamped:
+    # shrinking out of a divergence is urgent.
+    crashed = da.log_step < da.log_step_bar - jnp.log(8.0)
+    cap = jnp.where(crashed, jnp.inf, da.log_step + jnp.log(2.0))
+    log_step = jnp.minimum(log_step, cap)
     log_step = jnp.minimum(log_step, jnp.log(cfg.max_step_size))
     eta = count ** (-cfg.kappa)
     log_step_bar = eta * log_step + (1.0 - eta) * da.log_step_bar
@@ -170,6 +180,7 @@ def adam_update(cfg: AdaptConfig, adam: AdamState, da: DualAvgState, accept: jax
     mhat = m / (1 - cfg.adam_beta1 ** count)
     vhat = v / (1 - cfg.adam_beta2 ** count)
     log_step = da.log_step - cfg.adam_lr * mhat / (jnp.sqrt(vhat) + 1e-8)
+    log_step = jnp.minimum(log_step, da.log_step + jnp.log(2.0))
     log_step = jnp.minimum(log_step, jnp.log(cfg.max_step_size))
     eta = count ** (-cfg.kappa)
     log_step_bar = eta * log_step + (1.0 - eta) * da.log_step_bar

@@ -125,6 +125,17 @@ class NutsConfig:
     maxdepth: int = 10
     mindepth: int = 0
     check_turning: bool = True
+    # Kinetic energy of the Hamiltonian (reference NUTS `trajectory_kind`,
+    # ``KineticEnergyKind::{Microcanonical, ExactNormal}``,
+    # wrapper.rs:590-608).  "exact_normal": standard Gaussian kinetic energy
+    # 0.5 p^T M^{-1} p.  "microcanonical": isokinetic (MAMS-style, Robnik &
+    # Seljak 2024) dynamics -- the momentum is a unit velocity in the
+    # whitened space, the position update moves along A u with A A^T =
+    # M^{-1}, and the "energy" of a leaf is -logp plus the kinetic-energy
+    # weight accumulated along the integration path (tracked per trajectory
+    # edge in the ke_minus/ke_plus state slots), which is exactly the MAMS
+    # Metropolis energy error when differenced against h0 = -logp0.
+    kinetic: str = "exact_normal"
     # Target trajectory integration time (reference `target_integration_time`,
     # wrapper.rs:577-579; nuts-rs semantics are not vendored, so this build
     # defines it as: each draw's doubling limit is the depth at which the
@@ -163,6 +174,29 @@ def metric_momentum(cfg: NutsConfig, adapt, gauss: jax.Array) -> jax.Array:
     if cfg.low_rank is not None:
         return lr_sample_momentum(adapt.inv_mass, adapt.metric, gauss)
     return gauss / jnp.sqrt(adapt.inv_mass)
+
+
+def _lr_metric(cfg: NutsConfig, adapt):
+    """Low-rank metric object, or None for the diagonal/flow cases."""
+    return adapt.metric if cfg.low_rank is not None else None
+
+
+def turn_velocity(cfg: NutsConfig, adapt, p: jax.Array) -> jax.Array:
+    """Velocity used in U-turn dot products.
+
+    Exact-normal: v = M^{-1} p.  Microcanonical: the stored momentum is
+    already the whitened-space unit velocity, so the criterion is
+    ``dot(rho_u, u_end) <= 0`` with identity scaling.
+    """
+    if cfg.kinetic == "microcanonical":
+        return p
+    return metric_velocity(cfg, adapt, p)
+
+
+def turn_velocity_rows(cfg: NutsConfig, adapt, P: jax.Array) -> jax.Array:
+    if cfg.kinetic == "microcanonical":
+        return P
+    return metric_velocity_rows(cfg, adapt, P)
 
 
 # slot layout of the packed per-draw scalar statistics buffer; integers and
@@ -355,9 +389,16 @@ def start_draw(
     eps = jnp.exp(log_eps)
     if cfg.adapt.step_size_jitter is not None:
         eps = eps * (1.0 + cfg.adapt.step_size_jitter * (2.0 * jitter_u - 1.0))
-    p0 = metric_momentum(cfg, adapt, gauss)
-    ke = 0.5 * jnp.dot(p0, metric_velocity(cfg, adapt, p0))
-    h0 = -logp + ke
+    if cfg.kinetic == "microcanonical":
+        # unit velocity, uniform on the whitened-space sphere; the kinetic
+        # weight starts at zero so h0 is pure potential
+        norm = jnp.sqrt(jnp.sum(gauss * gauss))
+        p0 = gauss / jnp.maximum(norm, 1e-30)
+        h0 = -logp
+    else:
+        p0 = metric_momentum(cfg, adapt, gauss)
+        ke = 0.5 * jnp.dot(p0, metric_velocity(cfg, adapt, p0))
+        h0 = -logp + ke
     dim = position.shape[-1]
     nan_vec = jnp.full((dim,), jnp.nan, dtype)
     zero_s = jnp.zeros((), dtype)
@@ -538,6 +579,8 @@ def machine_step(
     in_sprop_logp = s.flts[F["sprop_logp"]]
     in_sprop_energy = s.flts[F["sprop_energy"]]
     in_sum_acc = s.flts[F["sum_acc"]]
+    in_ke_minus = s.flts[F["ke_minus"]]
+    in_ke_plus = s.flts[F["ke_plus"]]
 
     in_draw_idx = s.ints[I["draw_idx"]]
     in_prop_idx = s.ints[I["prop_idx"]]
@@ -583,21 +626,56 @@ def machine_step(
     p_e = jnp.where(fwd, in_p_plus, in_p_minus)
     g_e = jnp.where(fwd, in_g_plus, in_g_minus)
     eps_s = direction.astype(dtype) * in_eps
-    p_half = p_e + 0.5 * eps_s * g_e
-    z_new = z_e + eps_s * metric_velocity(cfg, s.adapt, p_half)
-    logp_new, g_new = logp_and_grad(z_new, s.adapt)
-    logp_new = logp_new.astype(dtype)
-    g_new = g_new.astype(dtype)
-    p_new = p_half + 0.5 * eps_s * g_new
-    v_new = metric_velocity(cfg, s.adapt, p_new)
-    ke = 0.5 * jnp.dot(p_new, v_new)
-    h = -logp_new + ke
+    if cfg.kinetic == "microcanonical":
+        # isokinetic leapfrog (MAMS): velocity half-update, position full
+        # step along A u, velocity half-update; the kinetic-energy weight
+        # accumulates per trajectory edge (ke_minus/ke_plus)
+        from .mclmc import _apply_A, _apply_At, _update_velocity
+
+        dim = z_e.shape[-1]
+        metric_obj = _lr_metric(cfg, s.adapt)
+        inv_mass = s.adapt.inv_mass
+        ke_edge = jnp.where(fwd, in_ke_plus, in_ke_minus)
+        gt_e = -_apply_At(inv_mass, metric_obj, g_e)
+        u_half, dke1 = _update_velocity(p_e, gt_e, 0.5 * eps_s, dim)
+        z_new = z_e + eps_s * _apply_A(inv_mass, metric_obj, u_half)
+        logp_new, g_new = logp_and_grad(z_new, s.adapt)
+        logp_new = logp_new.astype(dtype)
+        g_new = g_new.astype(dtype)
+        gt_new = -_apply_At(inv_mass, metric_obj, g_new)
+        p_new, dke2 = _update_velocity(u_half, gt_new, 0.5 * eps_s, dim)
+        ke_new_edge = ke_edge + dke1 + dke2
+        h = -logp_new + ke_new_edge
+        v_new = p_new
+        ke_plus = _w(active & fwd, ke_new_edge, in_ke_plus)
+        ke_minus = _w(active & ~fwd, ke_new_edge, in_ke_minus)
+    else:
+        p_half = p_e + 0.5 * eps_s * g_e
+        z_new = z_e + eps_s * metric_velocity(cfg, s.adapt, p_half)
+        logp_new, g_new = logp_and_grad(z_new, s.adapt)
+        logp_new = logp_new.astype(dtype)
+        g_new = g_new.astype(dtype)
+        p_new = p_half + 0.5 * eps_s * g_new
+        v_new = metric_velocity(cfg, s.adapt, p_new)
+        ke = 0.5 * jnp.dot(p_new, v_new)
+        h = -logp_new + ke
+        ke_plus = in_ke_plus
+        ke_minus = in_ke_minus
 
     # ------------------------------------------------ leaf processing
     n = in_n_leaf + 1
     e_err = h - in_h0
     finite = jnp.isfinite(e_err)
-    div_leaf = (~finite) | (e_err > cfg.max_energy_error)
+    # Stagnation = divergence: when eps falls below the float resolution of
+    # the position, z + eps*v == z bitwise -- the trajectory cannot be
+    # integrated, never U-turns, and would run a full maxdepth tree (1023
+    # gradients) every draw, which every lockstep chain waits out (<1%
+    # numerically-dead chains stalled the 2048-chain TPU bench 25x).
+    # Treating the unintegrable step as a (recoverable) divergence ends the
+    # draw after one leapfrog, matching the reference's recoverable-logp-
+    # error semantics (``LogpError::is_recoverable``, src/pymc.rs:166-181).
+    stagnant = jnp.all(z_new == z_e)
+    div_leaf = (~finite) | (e_err > cfg.max_energy_error) | stagnant
     lw = jnp.where(div_leaf, -jnp.inf, -e_err)
     acc = jnp.where(finite, jnp.exp(jnp.minimum(jnp.zeros((), dtype), -e_err)), 0.0)
 
@@ -639,7 +717,7 @@ def machine_step(
         slots = jnp.arange(D)
         slot_mask = (slots < top_after_push) & (slots >= top_after_push - tz)
         rho_ab = rho_sub_new[None, :] - ckpt_s        # [D, dim]
-        d_a = jnp.sum(rho_ab * metric_velocity_rows(cfg, s.adapt, ckpt_p), axis=1)
+        d_a = jnp.sum(rho_ab * turn_velocity_rows(cfg, s.adapt, ckpt_p), axis=1)
         d_b = rho_ab @ v_new
         turn_vec = (d_a <= 0) | (d_b <= 0)
         turning_here = jnp.any(turn_vec & slot_mask)
@@ -675,9 +753,9 @@ def machine_step(
         far_p = jnp.where(fwd, in_p_minus, in_p_plus)
         first_new_p = ckpt_p[0]
         edge_old_p = ckpt_p[D - 1]
-        v_far = metric_velocity(cfg, s.adapt, far_p)
-        v_first_new = metric_velocity(cfg, s.adapt, first_new_p)
-        v_edge_old = metric_velocity(cfg, s.adapt, edge_old_p)
+        v_far = turn_velocity(cfg, s.adapt, far_p)
+        v_first_new = turn_velocity(cfg, s.adapt, first_new_p)
+        v_edge_old = turn_velocity(cfg, s.adapt, edge_old_p)
         t1 = _turn(rho_full, v_far, v_new)
         t2 = _turn(in_rho + first_new_p, v_far, v_first_new)
         t3 = _turn(rho_sub_new + edge_old_p, v_edge_old, v_new)
@@ -854,8 +932,8 @@ def machine_step(
             sprop_logp=sprop_logp,
             sprop_energy=sprop_energy,
             sum_acc=sum_acc,
-            ke_minus=s.flts[F["ke_minus"]],
-            ke_plus=s.flts[F["ke_plus"]],
+            ke_minus=ke_minus,
+            ke_plus=ke_plus,
         ),
         ints=_pack_ints(
             draw_idx=draw_idx,

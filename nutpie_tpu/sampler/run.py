@@ -25,6 +25,7 @@ from functools import partial
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from ..model import ModelDef
 from .adapt import Schedule, pool_adapt_state
@@ -55,14 +56,23 @@ def find_initial_step(cfg: NutsConfig, logp_and_grad, state, max_iters: int = 32
     and burn thousands of maxdepth-limited gradient evaluations in the first
     warmup draws.  Runs per chain, fully in-graph.
     """
-    from .nuts import metric_momentum, metric_velocity
+    from .nuts import _lr_metric, metric_momentum, metric_velocity
 
     dtype = state.position.dtype
     adapt = state.adapt
     key = jax.random.fold_in(state.rng_key, 6)
     gauss = jax.random.normal(key, state.position.shape, dtype)
-    p0 = metric_momentum(cfg, adapt, gauss)
-    h0 = -state.logp + 0.5 * jnp.dot(p0, metric_velocity(cfg, adapt, p0))
+    micro = cfg.kinetic == "microcanonical"
+    if micro:
+        from .mclmc import _apply_A, _apply_At, _update_velocity
+
+        dim = state.position.shape[-1]
+        metric_obj = _lr_metric(cfg, adapt)
+        p0 = gauss / jnp.maximum(jnp.sqrt(jnp.sum(gauss * gauss)), 1e-30)
+        h0 = -state.logp
+    else:
+        p0 = metric_momentum(cfg, adapt, gauss)
+        h0 = -state.logp + 0.5 * jnp.dot(p0, metric_velocity(cfg, adapt, p0))
 
     def accept_prob(log_eps, n_steps: int = 4):
         # Probe a short trajectory, not a single step: at the (out-of-
@@ -72,20 +82,39 @@ def find_initial_step(cfg: NutsConfig, logp_and_grad, state, max_iters: int = 32
         eps = jnp.exp(log_eps)
 
         def leap(carry, _):
-            z, p, g, worst = carry
-            p_half = p + 0.5 * eps * g
-            z_new = z + eps * metric_velocity(cfg, adapt, p_half)
-            logp_new, g_new = logp_and_grad(z_new)
-            p_new = p_half + 0.5 * eps * g_new.astype(dtype)
-            h = -logp_new.astype(dtype) + 0.5 * jnp.dot(
-                p_new, metric_velocity(cfg, adapt, p_new)
-            )
+            z, p, g, ke, worst = carry
+            if micro:
+                gt = -_apply_At(adapt.inv_mass, metric_obj, g)
+                u_half, dke1 = _update_velocity(p, gt, 0.5 * eps, dim)
+                z_new = z + eps * _apply_A(adapt.inv_mass, metric_obj, u_half)
+                logp_new, g_new = logp_and_grad(z_new)
+                gt_new = -_apply_At(
+                    adapt.inv_mass, metric_obj, g_new.astype(dtype)
+                )
+                p_new, dke2 = _update_velocity(u_half, gt_new, 0.5 * eps, dim)
+                ke_new = ke + dke1 + dke2
+                h = -logp_new.astype(dtype) + ke_new
+            else:
+                p_half = p + 0.5 * eps * g
+                z_new = z + eps * metric_velocity(cfg, adapt, p_half)
+                logp_new, g_new = logp_and_grad(z_new)
+                p_new = p_half + 0.5 * eps * g_new.astype(dtype)
+                ke_new = ke
+                h = -logp_new.astype(dtype) + 0.5 * jnp.dot(
+                    p_new, metric_velocity(cfg, adapt, p_new)
+                )
             a = h0 - h
             a = jnp.where(jnp.isfinite(a), a, -jnp.inf)
-            return (z_new, p_new, g_new.astype(dtype), jnp.minimum(worst, a)), None
+            return (
+                z_new, p_new, g_new.astype(dtype), ke_new,
+                jnp.minimum(worst, a),
+            ), None
 
-        init = (state.position, p0, state.gradient, jnp.zeros((), dtype))
-        (_, _, _, worst), _ = jax.lax.scan(leap, init, None, length=n_steps)
+        init = (
+            state.position, p0, state.gradient, jnp.zeros((), dtype),
+            jnp.zeros((), dtype),
+        )
+        (_, _, _, _, worst), _ = jax.lax.scan(leap, init, None, length=n_steps)
         return worst
 
     # Cross at target_accept (not Stan's 0.5): the first draws run with this
@@ -202,7 +231,29 @@ def init_chains(
     chain_keys = jax.vmap(lambda i: jax.random.fold_in(master, i))(
         jnp.arange(n_chains)
     )
-    return init_fn(chain_keys, jnp.asarray(init_mean, dtype))
+    init_mean = jnp.asarray(init_mean, dtype)
+    states, ok = init_fn(chain_keys, init_mean)
+    if step_search and n_chains >= 8:
+        # Init-quality retry: a chain whose stable step size lands orders of
+        # magnitude below the fleet's landed at a pathologically stiff
+        # position (on TPU such chains crash to step sizes below the f32
+        # position resolution during warmup and stall every lockstep chain
+        # with futile maxdepth trees).  Redraw those initial positions.
+        from .state import tree_where
+
+        for round_ in range(2):
+            ls = np.asarray(states.adapt.da.log_step)
+            bad = ls < np.median(ls) - np.log(100.0)
+            if not bad.any():
+                break
+            retry_keys = jax.vmap(
+                lambda k: jax.random.fold_in(k, 1000 + round_)
+            )(chain_keys)
+            states2, ok2 = init_fn(retry_keys, init_mean)
+            bad_j = jnp.asarray(bad)
+            states = tree_where(bad_j, states2, states)
+            ok = jnp.where(bad_j, ok2, ok)
+    return states, ok
 
 
 def make_chunk_runner(model: ModelDef, cfg: NutsConfig, chunk_len: int, dtype,
@@ -289,6 +340,44 @@ def make_chunk_runner(model: ModelDef, cfg: NutsConfig, chunk_len: int, dtype,
             return st, bf
 
         states, bufs = jax.lax.while_loop(cond, body, (states, bufs))
+
+        if not adapt_frozen:
+            # Trapped-chain rescue (warmup only).  A chain initialized into a
+            # pathologically stiff region can reach a state where acceptance
+            # sits near target at eps ~1e-6 while logp is ~1000 sigma worse
+            # than the fleet's -- locally self-consistent, globally dead: it
+            # descends the potential at ~0.3 logp/draw from -265k and every
+            # draw runs a futile maxdepth tree (1023 gradients) that all
+            # lockstep chains wait out (<1% such chains stalled the
+            # 2048-chain TPU bench 25x).  Per-chain step-size adaptation
+            # cannot detect this -- only the fleet can.  During early warmup,
+            # teleport trapped chains onto the median-logp chain's state
+            # (position/gradient/step size/mass matrix); their own RNG
+            # streams decorrelate them within a few draws, and warmup draws
+            # are discarded anyway.  The reference has no analog (6
+            # independent CPU chains rarely hit the trap; at 2048+ lockstep
+            # chains every run does).
+            end = chunk_start + limit
+            in_window = (end >= 32) & (end * 4 <= sched.num_tune * 3)
+            logp = states.logp
+            med = jnp.median(logp)
+            mad = jnp.median(jnp.abs(logp - med))
+            trapped = in_window & ((med - logp) > 50.0 * (mad + 10.0))
+            donor = jnp.argsort(logp)[n_chains // 2]
+
+            def teleport(leaf):
+                donor_row = leaf[donor]
+                mask = trapped.reshape(
+                    trapped.shape + (1,) * (leaf.ndim - 1)
+                )
+                return jnp.where(mask, donor_row[None], leaf)
+
+            rescued_vecs = teleport(states.vecs)
+            rescued_flts = teleport(states.flts)
+            rescued_adapt = jax.tree_util.tree_map(teleport, states.adapt)
+            states = states._replace(
+                vecs=rescued_vecs, flts=rescued_flts, adapt=rescued_adapt,
+            )
 
         row_ids = jnp.arange(chunk_len, dtype=jnp.int32)
         # the chunk's buffers were produced under the *current* flow; keep it

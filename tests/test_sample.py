@@ -216,3 +216,40 @@ def test_target_integration_time():
     )
     depth3 = np.asarray(trace3.sample_stats["depth"].values)
     assert depth3.max() < 8
+
+
+def test_microcanonical_trajectory():
+    # NUTS trajectory_kind (reference KineticEnergyKind::Microcanonical,
+    # wrapper.rs:590-608): isokinetic MAMS-style trajectories must still
+    # recover the posterior, and the setting must change behavior (unit
+    # whitened velocity => different trajectories from exact_normal)
+    model = compile_model_def(std_normal(4, mu=0.5, sigma=1.5))
+    trace = nutpie_tpu.sample(
+        model, chains=4, draws=800, tune=400, seed=9, progress_bar=False,
+        microcanonical_trajectory=True,
+    )
+    x = np.asarray(trace.posterior["x"].values)
+    assert abs(x.mean() - 0.5) < 0.1
+    assert abs(x.std() - 1.5) < 0.15
+    div = np.asarray(trace.sample_stats["diverging"].values)
+    assert div.mean() < 0.01
+
+    trace2 = nutpie_tpu.sample(
+        model, chains=4, draws=200, tune=400, seed=9, progress_bar=False,
+    )
+    x2 = np.asarray(trace2.posterior["x"].values)
+    assert not np.allclose(x[:, :200], x2)
+
+
+def test_microcanonical_low_rank():
+    # micro kinetic composes with the low-rank metric (A u position update)
+    from tests.test_low_rank import _correlated_gaussian
+
+    model_def, _ = _correlated_gaussian(dim=6, rho=0.9)
+    trace = nutpie_tpu.sample(
+        compile_model_def(model_def), chains=4, draws=600, tune=400, seed=10,
+        progress_bar=False, adaptation="low_rank",
+        microcanonical_trajectory=True,
+    )
+    x = np.asarray(trace.posterior["x"].values)
+    assert abs(x.mean()) < 0.6

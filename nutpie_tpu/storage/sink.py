@@ -15,14 +15,13 @@ from typing import Optional
 import numpy as np
 
 from ..trace import _VECTOR_STATS
-from .stores import LocalStore
 from .zarr_writer import ZarrTraceWriter
 
 
 class ZarrTraceSink:
     def __init__(
         self,
-        store: LocalStore,
+        store,
         *,
         n_chains: int,
         num_tune: int,
@@ -30,13 +29,12 @@ class ZarrTraceSink:
         save_warmup: bool = True,
         chunk_draws: int = 64,
         attrs: Optional[dict] = None,
+        start_offset: int = 0,
     ):
-        if not isinstance(store, LocalStore):
-            raise TypeError(
-                "streaming storage currently supports LocalStore (object "
-                "store backends need the optional obstore package)"
-            )
-        self._writer = ZarrTraceWriter(store.writer_root())
+        # any store exposing .transport() works: LocalStore, MemoryStore,
+        # the obstore-backed object stores, or a user transport object
+        self._writer = ZarrTraceWriter(store)
+        self._start_offset = int(start_offset)
         self._n_chains = n_chains
         self._num_tune = num_tune
         self._num_draws = num_draws
@@ -78,6 +76,17 @@ class ZarrTraceSink:
                         f"{name}_dim_{i}" for i in range(len(item_shape))
                     )
                 dims = ("chain", "draw") + tuple(extra)
+                chunk_draws = min(self._chunk_draws, max(total, 1))
+                # resume: earlier rows of this run are already durable in
+                # the store; append from the chunk-aligned offset and prime
+                # the pending buffer with the trailing partial chunk
+                offset = (
+                    min(self._start_offset, self._num_tune)
+                    if group.startswith("warmup")
+                    else max(0, self._start_offset - self._num_tune)
+                )
+                offset = min(offset, total)
+                aligned = (offset // chunk_draws) * chunk_draws
                 w.create_array(
                     group, name,
                     n_chains=self._n_chains,
@@ -85,8 +94,13 @@ class ZarrTraceSink:
                     item_shape=item_shape,
                     dtype=values.dtype,
                     dims=dims,
-                    chunk_draws=min(self._chunk_draws, max(total, 1)),
+                    chunk_draws=chunk_draws,
+                    written_draws=aligned,
                 )
+                if offset > aligned:
+                    partial = w.read_partial_chunk(group, name, offset)
+                    if partial is not None:
+                        self._pending[(group, name)] = [partial]
                 for dim, size in zip(extra, item_shape):
                     if dim in coords and len(coords[dim]) == size:
                         try:
@@ -94,7 +108,13 @@ class ZarrTraceSink:
                                            dim)
                         except TypeError:
                             pass
-                self._written.setdefault(f"{group}/{name}", 0)
+                self._written.setdefault(
+                    f"{group}/{name}",
+                    (min(self._start_offset, self._num_tune)
+                     if group.startswith("warmup")
+                     else max(0, self._start_offset - self._num_tune))
+                    // chunk_draws * chunk_draws,
+                )
         self._initialized = True
 
     # ------------------------------------------------------------- writes

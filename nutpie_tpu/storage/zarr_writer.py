@@ -1,17 +1,17 @@
 """Dependency-free streaming Zarr v2 writer for traces.
 
 The reference streams draws into Zarr through the Rust ``zarrs`` crate with
-a tokio writer pool (``wrapper.rs:1028-1038``, chunk size 16 draws).  This
-module implements the equivalent natively: trace groups are laid out as a
-Zarr v2 hierarchy with xarray ``_ARRAY_DIMENSIONS`` metadata, chunked
-``(1 chain, chunk_draws, *shape)``, zlib-compressed, written incrementally
-as each device chunk lands.  The result opens with
-``xarray.open_datatree(path, engine="zarr")`` / ``zarr.open_group`` --
-no zarr-python needed on the writing side.
+a tokio writer pool over ``object_store`` backends (``wrapper.rs:1028-1038``,
+chunk size 16 draws).  This module implements the equivalent natively:
+trace groups are laid out as a Zarr v2 hierarchy with xarray
+``_ARRAY_DIMENSIONS`` metadata, chunked ``(1 chain, chunk_draws, *shape)``,
+zlib-compressed, written incrementally as each device chunk lands.  The
+result opens with ``xarray.open_datatree(path, engine="zarr")`` /
+``zarr.open_group`` -- no zarr-python needed on the writing side.
 
-Physical writes go through the native async writer (C++ thread pool,
-``nutpie_tpu/storage/native.py``) when available, releasing the GIL while
-compressing and writing; otherwise a Python thread pool.
+Physical IO goes through a byte transport (``transport.py``): local
+filesystem via the native C++ async pool, in-memory mapping, or an
+``obstore`` object store -- the layout/chunking code is transport-agnostic.
 """
 
 from __future__ import annotations
@@ -20,11 +20,12 @@ import json
 import math
 import threading
 import zlib
-from concurrent.futures import ThreadPoolExecutor
 from pathlib import Path
-from typing import Any, Optional
+from typing import Any, Callable, Optional
 
 import numpy as np
+
+from .transport import FileTransport
 
 
 def _dtype_str(dtype: np.dtype) -> str:
@@ -45,41 +46,40 @@ def _fill_value(dtype: np.dtype):
     return 0
 
 
-class ZarrTraceWriter:
-    """Streams one sampling run into a Zarr v2 directory hierarchy."""
+def _as_transport(target):
+    if isinstance(target, (str, Path)):
+        return FileTransport(target)
+    if hasattr(target, "transport"):
+        return target.transport()
+    if hasattr(target, "submit_compressed"):
+        return target
+    raise TypeError(
+        f"cannot build a zarr transport from {type(target).__name__}"
+    )
 
-    def __init__(self, root: Path, *, compress_level: int = 1,
-                 max_workers: int = 4):
-        self.root = Path(root)
-        self.root.mkdir(parents=True, exist_ok=True)
+
+class ZarrTraceWriter:
+    """Streams one sampling run into a Zarr v2 hierarchy on a transport."""
+
+    def __init__(self, target, *, compress_level: int = 1):
+        self._t = _as_transport(target)
         self._level = compress_level
         self._arrays: dict[str, dict] = {}
+        self._meta_docs: dict[str, dict] = {}
         self._lock = threading.Lock()
-        self._native = None
-        try:
-            from .native import NativeWriter
-
-            self._native = NativeWriter(max_workers)
-        except Exception:
-            self._pool = ThreadPoolExecutor(max_workers=max_workers)
-            self._futures: list = []
         self._write_json("", ".zgroup", {"zarr_format": 2})
+
+    # kept for LocalStore callers that reopen the directory afterwards
+    @property
+    def root(self) -> Optional[Path]:
+        return getattr(self._t, "root", None)
 
     # ------------------------------------------------------------------ io
 
     def _write_json(self, group: str, name: str, data: dict) -> None:
-        path = self.root / group / name if group else self.root / name
-        path.parent.mkdir(parents=True, exist_ok=True)
-        path.write_text(json.dumps(data, indent=1))
-
-    def _submit(self, path: Path, raw: bytes) -> None:
-        if self._native is not None:
-            self._native.submit(str(path), raw, self._level)
-        else:
-            def work():
-                path.write_bytes(zlib.compress(raw, self._level))
-
-            self._futures.append(self._pool.submit(work))
+        key = f"{group}/{name}" if group else name
+        self._meta_docs[key] = data
+        self._t.put(key, json.dumps(data, indent=1).encode())
 
     # -------------------------------------------------------------- layout
 
@@ -100,7 +100,11 @@ class ZarrTraceWriter:
         dims: tuple[str, ...],
         chunk_draws: int,
         attrs: Optional[dict] = None,
+        written_draws: int = 0,
     ) -> None:
+        """Declare one array.  ``written_draws > 0`` resumes appending at
+        that draw offset (the earlier rows are already durable in the
+        store, e.g. from the run a checkpoint restart continues)."""
         key = f"{group}/{name}"
         dtype = np.dtype(dtype)
         shape = [n_chains, total_draws, *item_shape]
@@ -124,7 +128,7 @@ class ZarrTraceWriter:
         with self._lock:
             self._arrays[key] = {
                 "meta": meta, "dtype": dtype, "chunk_draws": chunk_draws,
-                "written_draws": 0,
+                "written_draws": written_draws,
             }
 
     def create_coord(self, group: str, name: str, values: np.ndarray,
@@ -154,10 +158,10 @@ class ZarrTraceWriter:
         self._write_json(
             key, ".zattrs", {"_ARRAY_DIMENSIONS": [dim or name]}
         )
-        path = self.root / key / "0"
-        path.parent.mkdir(parents=True, exist_ok=True)
-        path.write_bytes(zlib.compress(np.ascontiguousarray(values).tobytes(),
-                                       self._level))
+        self._t.put(
+            f"{key}/0",
+            zlib.compress(np.ascontiguousarray(values).tobytes(), self._level),
+        )
 
     # -------------------------------------------------------------- writes
 
@@ -189,51 +193,75 @@ class ZarrTraceWriter:
         suffix = ".".join(["0"] * n_item_dims)
         for chain in range(n_chains):
             fname = f"{chain}.{chunk_idx}" + (f".{suffix}" if suffix else "")
-            path = self.root / key / fname
-            path.parent.mkdir(parents=True, exist_ok=True)
-            self._submit(path, values[chain].tobytes())
+            self._t.submit_compressed(
+                f"{key}/{fname}", values[chain].tobytes(), self._level
+            )
         info["written_draws"] = start + n_draws
 
+    def read_partial_chunk(self, group: str, name: str,
+                           draw_offset: int) -> Optional[np.ndarray]:
+        """Rows ``[aligned_floor(draw_offset), draw_offset)`` of an array
+        already durable in the store (resume priming).  Returns
+        ``[chains, rows, ...]`` or None when the offset is chunk-aligned
+        or the transport cannot read."""
+        if not hasattr(self._t, "get"):
+            return None
+        key = f"{group}/{name}"
+        info = self._arrays[key]
+        chunk_draws = info["chunk_draws"]
+        rows = draw_offset % chunk_draws
+        if rows == 0:
+            return None
+        chunk_idx = draw_offset // chunk_draws
+        meta = info["meta"]
+        n_chains = meta["shape"][0]
+        item_shape = tuple(meta["shape"][2:])
+        suffix = ".".join(["0"] * len(item_shape))
+        out = np.full(
+            (n_chains, rows, *item_shape),
+            np.nan if info["dtype"].kind == "f" else 0,
+            info["dtype"],
+        )
+        for chain in range(n_chains):
+            fname = f"{chain}.{chunk_idx}" + (f".{suffix}" if suffix else "")
+            raw = self._t.get(f"{key}/{fname}")
+            if raw is None:
+                continue
+            block = np.frombuffer(zlib.decompress(raw), info["dtype"])
+            block = block.reshape((chunk_draws, *item_shape))
+            out[chain] = block[:rows]
+        return out
+
     def flush(self) -> None:
-        if self._native is not None:
-            self._native.flush()
-        else:
-            for fut in self._futures:
-                fut.result()
-            self._futures = []
+        self._t.flush()
 
     def finalize(self, actual_draws: Optional[int] = None) -> None:
         """Wait for writes, fix up shapes for aborted runs, consolidate."""
         self.flush()
-        consolidated: dict[str, Any] = {}
         for key, info in self._arrays.items():
             if actual_draws is not None and actual_draws != info["meta"]["shape"][1]:
                 info["meta"]["shape"][1] = actual_draws
                 self._write_json(key, ".zarray", info["meta"])
         # consolidated metadata (.zmetadata) for fast open
-        for path in sorted(self.root.rglob("*")):
-            if path.name in (".zgroup", ".zarray", ".zattrs"):
-                rel = str(path.relative_to(self.root))
-                consolidated[rel.replace("\\", "/")] = json.loads(
-                    path.read_text()
-                )
         self._write_json(
             "", ".zmetadata",
-            {"zarr_consolidated_format": 1, "metadata": consolidated},
+            {
+                "zarr_consolidated_format": 1,
+                "metadata": {
+                    k: v for k, v in sorted(self._meta_docs.items())
+                    if k.rsplit("/", 1)[-1] in (".zgroup", ".zarray", ".zattrs")
+                },
+            },
         )
 
     def close(self) -> None:
         self.flush()
-        if self._native is not None:
-            self._native.close()
-        elif hasattr(self, "_pool"):
-            self._pool.shutdown(wait=True)
+        self._t.close()
 
 
-def read_zarr_array(root: Path, key: str) -> np.ndarray:
-    """Minimal zarr v2 reader (for tests and the no-xarray fallback)."""
-    root = Path(root)
-    meta = json.loads((root / key / ".zarray").read_text())
+def _read_zarr_array_impl(get: Callable[[str], Optional[bytes]],
+                          key: str) -> np.ndarray:
+    meta = json.loads(get(f"{key}/.zarray"))
     shape = tuple(meta["shape"])
     chunks = tuple(meta["chunks"])
     dtype = np.dtype(meta["dtype"])
@@ -244,11 +272,10 @@ def read_zarr_array(root: Path, key: str) -> np.ndarray:
     grid = [math.ceil(s / c) for s, c in zip(shape, chunks)]
     for idx in np.ndindex(*grid):
         fname = ".".join(str(i) for i in idx)
-        path = root / key / fname
-        if not path.exists():
+        raw = get(f"{key}/{fname}")
+        if raw is None:
             continue
-        raw = zlib.decompress(path.read_bytes())
-        block = np.frombuffer(raw, dtype).reshape(chunks)
+        block = np.frombuffer(zlib.decompress(raw), dtype).reshape(chunks)
         slices = tuple(
             slice(i * c, min((i + 1) * c, s))
             for i, c, s in zip(idx, chunks, shape)
@@ -256,3 +283,21 @@ def read_zarr_array(root: Path, key: str) -> np.ndarray:
         view = tuple(slice(0, sl.stop - sl.start) for sl in slices)
         out[slices] = block[view]
     return out
+
+
+def read_zarr_array(root, key: str) -> np.ndarray:
+    """Minimal zarr v2 reader (tests and the no-xarray fallback).
+
+    ``root`` is a directory path, a store object, or a transport with
+    ``get``.
+    """
+    if isinstance(root, (str, Path)):
+        rootp = Path(root)
+
+        def get(k: str) -> Optional[bytes]:
+            path = rootp / k
+            return path.read_bytes() if path.exists() else None
+
+        return _read_zarr_array_impl(get, key)
+    t = _as_transport(root)
+    return _read_zarr_array_impl(t.get, key)

@@ -165,6 +165,8 @@ def main() -> None:
     )
 
     def run(seed):
+        from nutpie_tpu.sampler.run import fleet_depth_cap
+
         states, ok = init_chains(
             model, cfg, seed, CHAINS, np.zeros(model.ndim), dtype,
             init_fn=init_fn,
@@ -173,10 +175,17 @@ def main() -> None:
         n_steps_total = 0
         divergences = 0
         start = 0
+        depth_cap = None
+        freeze_start = TUNE - int(cfg.adapt.freeze_share * TUNE)
         while start < total:
             limit = min(CHUNK, total - start)
             active = runner if start < TUNE else runner_frozen
-            states, bufs = active(states, start, limit, sched)
+            states, bufs = active(
+                states, start, limit,
+                make_schedule(cfg.adapt, TUNE, depth_cap),
+            )
+            if start + limit <= freeze_start:
+                depth_cap = fleet_depth_cap(cfg, bufs, limit)
             if start + limit > TUNE:
                 keep_from = max(0, TUNE - start)
                 # keep only the monitored columns on device (full buffers

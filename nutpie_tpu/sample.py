@@ -490,6 +490,8 @@ class _BackgroundSampler:
 
         chunk_idx = 0
         prev_n_steps = None
+        depth_cap = None  # fleet-relative work cap (NUTS only)
+        is_mclmc = self._kind == "mclmc"
 
         def _progress_snapshot(st):
             # small device copies that survive donation of the full state
@@ -537,8 +539,19 @@ class _BackgroundSampler:
                     )
                     states, bufs = active_runner(
                         states, start, limit,
-                        make_schedule(cfg.adapt, self._num_tune),
+                        make_schedule(cfg.adapt, self._num_tune, depth_cap),
                     )
+                    # fleet-relative work cap for the NEXT chunk, frozen at
+                    # the mass-matrix freeze point (run.fleet_depth_cap)
+                    if (
+                        not is_mclmc
+                        and start + limit
+                        <= self._num_tune
+                        - int(cfg.adapt.freeze_share * self._num_tune)
+                    ):
+                        from .sampler.run import fleet_depth_cap
+
+                        depth_cap = fleet_depth_cap(cfg, bufs, limit)
                     snap = _progress_snapshot(states)
                     jax.tree_util.tree_map(
                         lambda a: a.copy_to_host_async()

@@ -40,14 +40,27 @@ class Schedule(NamedTuple):
     num_tune: jax.Array     # i32
     early_end: jax.Array    # i32: end of the early fast-switching phase
     freeze_start: jax.Array # i32: start of the final step-size-only window
+    # Fleet-relative tree-depth cap (i32; see run.fleet_depth_cap).  On a
+    # lockstep fleet every chain waits out the slowest chain's trajectory,
+    # so an outlier running trees ~8x deeper than the fleet median burns 8x
+    # everyone's wall clock for one chain's draw quality.  The cap bounds
+    # per-draw work at ~8x the fleet median; it is recomputed from each
+    # warmup chunk and FROZEN alongside the mass matrix for the posterior
+    # phase, so the post-warmup transition kernel stays fixed.  Default 32
+    # (> any maxdepth) = inert.
+    depth_cap: jax.Array    # i32
 
 
-def make_schedule(cfg: "AdaptConfig", num_tune: int) -> Schedule:
+def make_schedule(cfg: "AdaptConfig", num_tune: int,
+                  depth_cap=None) -> Schedule:
     return Schedule(
         num_tune=jnp.asarray(num_tune, jnp.int32),
         early_end=jnp.asarray(int(cfg.early_phase_share * num_tune), jnp.int32),
         freeze_start=jnp.asarray(
             num_tune - int(cfg.freeze_share * num_tune), jnp.int32
+        ),
+        depth_cap=jnp.asarray(
+            32 if depth_cap is None else depth_cap, jnp.int32
         ),
     )
 

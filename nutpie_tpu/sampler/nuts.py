@@ -772,7 +772,13 @@ def machine_step(
         ).astype(jnp.int32) + cfg.extra_doublings
         depth_limit = jnp.clip(req, max(cfg.mindepth, 1), cfg.maxdepth)
     else:
-        depth_limit = cfg.maxdepth
+        depth_limit = jnp.asarray(cfg.maxdepth, jnp.int32)
+    # fleet-relative work cap (see Schedule.depth_cap); >= mindepth+1 so
+    # mindepth settings stay honored
+    depth_limit = jnp.maximum(
+        jnp.minimum(depth_limit, sched.depth_cap),
+        max(cfg.mindepth, 1),
+    )
     ended_by_depth = merge_ok & ((in_depth + 1) >= depth_limit)
     draw_done = sub_done & (sub_invalid | turning_traj | ended_by_depth)
 

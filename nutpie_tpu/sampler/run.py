@@ -256,6 +256,28 @@ def init_chains(
     return states, ok
 
 
+def fleet_depth_cap(cfg: NutsConfig, bufs, limit) -> jax.Array:
+    """Fleet-relative tree-depth cap from one warmup chunk's step counts.
+
+    ``ceil(log2(8 * median steps/draw))`` clipped to ``[5, maxdepth]`` --
+    bounds any one chain's per-draw work at ~8x the fleet median (a chain
+    that genuinely needs deeper trees only hits the cap when it is an
+    outlier *relative to the fleet*; a uniformly hard geometry raises the
+    median and the cap with it).  Device scalar; feed into the next chunk's
+    :func:`make_schedule` ``depth_cap``.  Stop updating at the mass-matrix
+    freeze point so the posterior kernel is fixed.
+    """
+    from .nuts import SCALAR_SLOTS
+
+    ns = bufs.scalars[..., SCALAR_SLOTS["n_steps"]]
+    row_ok = jnp.arange(ns.shape[-1]) < limit
+    ns = jnp.where(row_ok[None, :], ns, jnp.nan)
+    med = jnp.nanmedian(ns)
+    med = jnp.where(jnp.isfinite(med), med, 2.0 ** 30)
+    cap = jnp.ceil(jnp.log2(8.0 * jnp.maximum(med, 1.0))).astype(jnp.int32)
+    return jnp.clip(cap, 5, cfg.maxdepth)
+
+
 def make_chunk_runner(model: ModelDef, cfg: NutsConfig, chunk_len: int, dtype,
                       pool_mass_matrix: bool = False, flow_train: bool = True,
                       unroll: int = 1, adapt_frozen: bool = False):

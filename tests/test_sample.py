@@ -253,3 +253,32 @@ def test_microcanonical_low_rank():
     )
     x = np.asarray(trace.posterior["x"].values)
     assert abs(x.mean()) < 0.6
+
+
+def test_fleet_depth_cap():
+    # cap = ceil(log2(8 * median steps/draw)) in [5, maxdepth]
+    import jax.numpy as jnp
+
+    from nutpie_tpu.sampler.nuts import (
+        N_SCALAR_SLOTS, SCALAR_SLOTS, NutsConfig,
+    )
+    from nutpie_tpu.sampler.run import fleet_depth_cap
+
+    class Bufs:
+        pass
+
+    bufs = Bufs()
+    scal = jnp.full((4, 8, N_SCALAR_SLOTS), jnp.nan)
+    # median steps/draw = 24 -> ceil(log2(192)) = 8
+    scal = scal.at[:, :6, SCALAR_SLOTS["n_steps"]].set(24.0)
+    bufs.scalars = scal
+    cfg = NutsConfig(maxdepth=10)
+    assert int(fleet_depth_cap(cfg, bufs, 6)) == 8
+    # one outlier at maxdepth does not move the median-based cap
+    scal = scal.at[0, :6, SCALAR_SLOTS["n_steps"]].set(1023.0)
+    bufs.scalars = scal
+    assert int(fleet_depth_cap(cfg, bufs, 6)) == 8
+    # clipped to maxdepth when the fleet itself is deep
+    scal = scal.at[:, :6, SCALAR_SLOTS["n_steps"]].set(1023.0)
+    bufs.scalars = scal
+    assert int(fleet_depth_cap(cfg, bufs, 6)) == 10

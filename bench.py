@@ -133,6 +133,119 @@ def run_baseline() -> None:
     print(json.dumps(result))
 
 
+def run_scaling() -> None:
+    """Scaling-efficiency harness (BASELINE gate: >= 0.8 at N >= 2 hosts).
+
+    Measures aggregate min-ESS/s on radon with chains proportional to the
+    global device count (weak scaling -- the production axis: more devices
+    sample more chains).  Records ``BENCH_scaling_{D}dev.json``; when a
+    1-device record exists, reports ``efficiency = ESS/s(D) /
+    (D * ESS/s(1))``.  Multi-host: start one process per host with
+    ``NUTPIE_COORD=host:port NUTPIE_NPROC=N NUTPIE_PID=i python bench.py
+    --scaling`` (wires jax.distributed); single-host multi-chip works
+    as-is.  Virtual CPU devices share silicon, so efficiency numbers are
+    only meaningful on real hardware.
+    """
+    import os
+
+    if os.environ.get("NUTPIE_COORD"):
+        from nutpie_tpu.parallel.mesh import initialize_distributed
+
+        initialize_distributed(
+            os.environ["NUTPIE_COORD"],
+            int(os.environ.get("NUTPIE_NPROC", "1")),
+            int(os.environ.get("NUTPIE_PID", "0")),
+        )
+    import jax
+    import jax.numpy as jnp
+
+    from nutpie_tpu.diagnostics_device import min_ess_over_columns
+    from nutpie_tpu.models import radon
+    from nutpie_tpu.parallel.mesh import shard_chains
+    from nutpie_tpu.sampler import AdaptConfig, NutsConfig
+    from nutpie_tpu.sampler.adapt import make_schedule
+    from nutpie_tpu.sampler.run import (
+        fleet_depth_cap, init_chains, make_chunk_runner, make_init_fn,
+    )
+
+    ctx = jax.default_matmul_precision("highest")
+    ctx.__enter__()
+
+    n_dev = len(jax.devices())
+    chains = 256 * n_dev
+    tune, draws, chunk = 300, 1000, 32
+    model = radon()
+    dtype = jnp.float32
+    cfg = NutsConfig(adapt=AdaptConfig(num_tune=tune))
+    total = tune + draws
+    freeze_start = tune - int(cfg.adapt.freeze_share * tune)
+
+    init_fn = make_init_fn(model, cfg, dtype)
+    runner = make_chunk_runner(model, cfg, chunk, dtype)
+    runner_frozen = make_chunk_runner(model, cfg, chunk, dtype,
+                                      adapt_frozen=True)
+    cols = jnp.asarray([0, 85, 86, 171, 172], jnp.int32)
+
+    def run(seed):
+        states, ok = init_chains(
+            model, cfg, seed, chains, np.zeros(model.ndim), dtype,
+            init_fn=init_fn,
+        )
+        states = shard_chains(states)
+        post = []
+        depth_cap = None
+        start = 0
+        while start < total:
+            limit = min(chunk, total - start)
+            active = runner if start < tune else runner_frozen
+            states, bufs = active(
+                states, start, limit, make_schedule(cfg.adapt, tune, depth_cap)
+            )
+            if start + limit <= freeze_start:
+                depth_cap = fleet_depth_cap(cfg, bufs, limit)
+            if start + limit > tune:
+                keep = max(0, tune - start)
+                post.append(bufs.position[:, keep:limit, cols])
+            start += limit
+        posterior = jnp.concatenate(post, axis=1)
+        return float(min_ess_over_columns(
+            posterior, jnp.arange(cols.shape[0], dtype=jnp.int32)
+        ))
+
+    run(1)
+    t0 = time.perf_counter()
+    ess = run(42)
+    wall = time.perf_counter() - t0
+    ess_per_s = ess / wall
+    result = {
+        "metric": "radon_scaling_min_ess_per_s",
+        "value": round(ess_per_s, 2),
+        "unit": "ESS/s",
+        "detail": {
+            "devices": n_dev,
+            "processes": jax.process_count(),
+            "chains": chains,
+            "min_ess": round(ess, 1),
+            "wall_s": round(wall, 2),
+            "ess_per_s_per_device": round(ess_per_s / n_dev, 2),
+        },
+    }
+    base_path = __file__.replace("bench.py", "BENCH_scaling_1dev.json")
+    if n_dev == 1:
+        with open(base_path, "w") as f:
+            json.dump(result, f)
+    else:
+        try:
+            with open(base_path) as f:
+                base = json.load(f)["value"]
+            result["detail"]["efficiency_vs_1dev"] = round(
+                ess_per_s / (n_dev * base), 3
+            )
+        except Exception:
+            pass
+    print(json.dumps(result))
+
+
 def main() -> None:
     import jax
     import jax.numpy as jnp
@@ -234,5 +347,7 @@ def main() -> None:
 if __name__ == "__main__":
     if "--baseline" in sys.argv:
         run_baseline()
+    elif "--scaling" in sys.argv:
+        run_scaling()
     else:
         main()

@@ -65,8 +65,13 @@ def initialize_distributed(
     replacement for the NCCL/MPI layer the reference never needed
     (SURVEY.md section 5.8).
     """
-    if jax.process_count() > 1:
-        return
+    # Do NOT probe jax.process_count() here: it initializes the local
+    # backend, after which jax.distributed.initialize refuses to run.
+    # The distributed client handle is the side-effect-free liveness check.
+    from jax._src import distributed as _dist
+
+    if getattr(_dist.global_state, "client", None) is not None:
+        return  # already initialized (idempotent)
     kwargs = {}
     if coordinator_address is not None:
         kwargs["coordinator_address"] = coordinator_address
@@ -74,8 +79,4 @@ def initialize_distributed(
         kwargs["num_processes"] = num_processes
     if process_id is not None:
         kwargs["process_id"] = process_id
-    try:
-        jax.distributed.initialize(**kwargs)
-    except (ValueError, RuntimeError):
-        # already initialized or single-process environment
-        pass
+    jax.distributed.initialize(**kwargs)

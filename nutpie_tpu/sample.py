@@ -542,9 +542,13 @@ class _BackgroundSampler:
                         make_schedule(cfg.adapt, self._num_tune, depth_cap),
                     )
                     # fleet-relative work cap for the NEXT chunk, frozen at
-                    # the mass-matrix freeze point (run.fleet_depth_cap)
+                    # the mass-matrix freeze point (run.fleet_depth_cap).
+                    # Needs an actual fleet: with few chains the median is
+                    # noise and capping outliers just truncates honest deep
+                    # trees (the 2-chain 100-d funnel gate needs depth 7-9)
                     if (
                         not is_mclmc
+                        and self._n_chains >= 64
                         and start + limit
                         <= self._num_tune
                         - int(cfg.adapt.freeze_share * self._num_tune)

@@ -144,6 +144,14 @@ class NutsConfig:
     # check_turning=False this yields fixed-integration-time multinomial HMC.
     target_time: Optional[float] = None
     extra_doublings: int = 0
+    # Fleet-relative work bound: cap per-draw trees at ~this multiple of
+    # the fleet-median steps/draw (see run.fleet_depth_cap); lockstep
+    # chains all wait out the slowest chain's trajectory, so the tail IS
+    # the wall clock.  Swept on the radon bench at 2048 chains: factors
+    # {1, 1.5, 2, 3, 4, 8, 16} -> best ESS/s at 1.5-2.0 with aggregate
+    # min-ESS unchanged (truncated outlier trees cost less ESS than the
+    # fleet time they burn).  Only engaged at >= 64 chains.
+    depth_cap_factor: float = 2.0
     max_energy_error: float = 1000.0
     store_gradient: bool = False
     store_mass_matrix: bool = False

@@ -274,8 +274,10 @@ def fleet_depth_cap(cfg: NutsConfig, bufs, limit) -> jax.Array:
     ns = jnp.where(row_ok[None, :], ns, jnp.nan)
     med = jnp.nanmedian(ns)
     med = jnp.where(jnp.isfinite(med), med, 2.0 ** 30)
-    cap = jnp.ceil(jnp.log2(8.0 * jnp.maximum(med, 1.0))).astype(jnp.int32)
-    return jnp.clip(cap, 5, cfg.maxdepth)
+    cap = jnp.ceil(
+        jnp.log2(cfg.depth_cap_factor * jnp.maximum(med, 1.0))
+    ).astype(jnp.int32)
+    return jnp.clip(cap, 4, cfg.maxdepth)
 
 
 def make_chunk_runner(model: ModelDef, cfg: NutsConfig, chunk_len: int, dtype,

@@ -175,3 +175,29 @@ def test_flow_sampling_with_extended_architecture():
     v = np.asarray(trace.posterior["v"].values)
     assert np.isfinite(v).all()
     assert v.std() > 1.5  # reaches well into the funnel
+
+
+@pytest.mark.slow
+def test_flow_funnel_100d_reference_gate():
+    """The reference's headline flow acceptance gate (docs/nf-adapt.qmd:75-101):
+    100-dimensional funnel, 2 chains, ESS > 1000 on all parameters, zero
+    divergences, mean fisher_distance < 0.1.  ~10 min on CPU."""
+    model = compile_model_def(funnel(dim=101, scale=1.0)).with_transform_adapt(
+        num_layers=5, hidden=32, train_steps=800, window=600,
+        learning_rate=1e-3, num_diag_updates=2,
+    )
+    trace = nutpie_tpu.sample(
+        model, chains=2, draws=1000, tune=1200, seed=1, progress_bar=False,
+        adaptation="flow", transform_update_freq=150,
+    )
+    div = np.asarray(trace.sample_stats["diverging"].values)
+    assert div.sum() == 0, div.sum()
+    v = np.asarray(trace.posterior["v"].values)
+    x = np.asarray(trace.posterior["x"].values)
+    assert diagnostics.ess(v) > 1000
+    ess_x = min(
+        diagnostics.ess(x[..., i]) for i in range(0, 100, 10)
+    )
+    assert ess_x > 1000, ess_x
+    fd = np.asarray(trace.sample_stats["fisher_distance"].values)
+    assert np.nanmean(fd[:, -200:]) < 0.1

@@ -266,9 +266,9 @@ def main() -> None:
     total = TUNE + DRAWS
 
     init_fn = make_init_fn(model, cfg, dtype)
-    runner = make_chunk_runner(model, cfg, CHUNK, dtype, unroll=4)
+    runner = make_chunk_runner(model, cfg, CHUNK, dtype, unroll=8)
     runner_frozen = make_chunk_runner(
-        model, cfg, CHUNK, dtype, unroll=4, adapt_frozen=True
+        model, cfg, CHUNK, dtype, unroll=8, adapt_frozen=True
     )
 
     # monitored columns: intercept, both log-sds, log-sigma, spread of

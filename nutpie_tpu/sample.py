@@ -82,6 +82,10 @@ def _nuts_config_from_settings(
         args.update(transform_args or {})
         freq = getattr(settings.adapt_options, "transform_update_freq", 64)
         known = {f.name for f in _dc.fields(FlowConfig)}
+        args.setdefault(
+            "use_orbit",
+            getattr(settings.adapt_options, "use_orbit_for_training", False),
+        )
         flow = FlowConfig(
             update_freq=freq,
             **{k: v for k, v in args.items() if k in known},

@@ -253,6 +253,9 @@ class ChunkBuffers(NamedTuple):
     transformed_gradient: Optional[jax.Array]
     transformation_mu: Optional[jax.Array]
     mass_matrix_eigvals: Optional[jax.Array]    # [L, max_rank] (low_rank)
+    # uniform-leaf orbit samples for flow training (flow.use_orbit)
+    orbit_position: Optional[jax.Array]         # [L, dim]
+    orbit_gradient: Optional[jax.Array]
 
     @property
     def logp(self):
@@ -337,6 +340,14 @@ def init_buffers(cfg: NutsConfig, chunk_len: int, dim: int, dtype,
         mass_matrix_eigvals=(
             f(L, cfg.low_rank.max_rank)
             if cfg.low_rank is not None and cfg.store_mass_matrix else None
+        ),
+        orbit_position=(
+            f(L, dim)
+            if cfg.flow is not None and cfg.flow.use_orbit else None
+        ),
+        orbit_gradient=(
+            f(L, dim)
+            if cfg.flow is not None and cfg.flow.use_orbit else None
         ),
     )
 
@@ -510,9 +521,12 @@ def init_machine_state(
             div_start=nan_vec, div_start_grad=nan_vec,
             div_end=nan_vec, div_mom=nan_vec,
         )
+    use_orbit = cfg.flow is not None and cfg.flow.use_orbit
     return NutsMachineState(
         rng_key=chain_key,
         adapt=adapt,
+        orbit_z=zvec if use_orbit else None,
+        orbit_g=zvec if use_orbit else None,
         vecs=_pack_vecs(cfg, **vec_values),
         ckpt_p=jnp.zeros((D, dim), dtype),
         ckpt_s=jnp.zeros((D, dim), dtype),
@@ -689,6 +703,22 @@ def machine_step(
 
     sum_acc = _w(active, in_sum_acc + acc, in_sum_acc)
     n_leaves = _w(active, in_n_leaves + 1, in_n_leaves)
+
+    use_orbit = cfg.flow is not None and cfg.flow.use_orbit
+    if use_orbit:
+        # uniform-leaf reservoir over the draw's whole trajectory
+        # (train_on_orbit: the flow trains on orbit points, which cover the
+        # trajectory uniformly rather than multinomially); the dedicated
+        # fold keeps the main u3 streams untouched
+        u_orb = jax.random.uniform(
+            jax.random.fold_in(ku, 1), (), jnp.float32
+        ).astype(dtype)
+        take_orbit = active & (u_orb * n_leaves.astype(dtype) <= 1.0)
+        orbit_z = _w(take_orbit, z_new, s.orbit_z)
+        orbit_g = _w(take_orbit, g_new, s.orbit_g)
+    else:
+        orbit_z = None
+        orbit_g = None
     total_steps = _w(active, in_total_steps + 1, in_total_steps)
 
     abs_idx = jnp.where(fwd, in_right_idx + 1, in_left_idx - 1)
@@ -887,6 +917,14 @@ def machine_step(
             write(bufs.mass_matrix_eigvals, jnp.exp(s.adapt.metric.log_eigs))
             if bufs.mass_matrix_eigvals is not None else None
         ),
+        orbit_position=(
+            write(bufs.orbit_position, orbit_z)
+            if bufs.orbit_position is not None else None
+        ),
+        orbit_gradient=(
+            write(bufs.orbit_gradient, orbit_g)
+            if bufs.orbit_gradient is not None else None
+        ),
     )
 
     # adaptation (tuning draws only)
@@ -931,6 +969,8 @@ def machine_step(
         )
     state = s._replace(
         adapt=adapt,
+        orbit_z=orbit_z,
+        orbit_g=orbit_g,
         vecs=_pack_vecs(cfg, **vec_values),
         ckpt_p=ckpt_p,
         ckpt_s=ckpt_s,

@@ -453,10 +453,23 @@ def make_chunk_runner(model: ModelDef, cfg: NutsConfig, chunk_len: int, dtype,
                     win_draws=adapt.win_draws, win_grads=adapt.win_grads,
                     win_valid=adapt.win_valid,
                 )
+                buf_pos, buf_grad, rows_v = (
+                    bufs_one.position, bufs_one.gradient, rows_ok
+                )
+                if fcfg.use_orbit:
+                    # train_on_orbit: one uniform-leaf orbit sample per draw
+                    # doubles the window coverage (see FlowConfig.use_orbit)
+                    buf_pos = jnp.concatenate(
+                        [buf_pos, bufs_one.orbit_position]
+                    )
+                    buf_grad = jnp.concatenate(
+                        [buf_grad, bufs_one.orbit_gradient]
+                    )
+                    rows_v = jnp.concatenate([rows_ok, rows_ok])
                 win, position, gradient, logp = chunk_flow_update(
                     fcfg, model.logp_fn, win, state.position,
-                    state.gradient, state.logp, bufs_one.position,
-                    bufs_one.gradient, rows_ok,
+                    state.gradient, state.logp, buf_pos,
+                    buf_grad, rows_v,
                     in_warmup=chunk_start < sched.num_tune,
                 )
                 adapt = adapt._replace(

@@ -154,6 +154,10 @@ class NutsMachineState(NamedTuple):
     ckpt_s: jax.Array  # [maxdepth, dim] momentum prefix-sum before ckpt leaf
     flts: jax.Array    # [N_FLT] packed float scalars (slots: FLT_SLOTS)
     ints: jax.Array    # [N_INT] packed i32 scalars (slots: INT_SLOTS)
+    # uniform-leaf reservoir over the trajectory (flow use_orbit training);
+    # None (compiled out) unless the flow's train_on_orbit is enabled
+    orbit_z: object = None   # [dim] or None
+    orbit_g: object = None   # [dim] or None
 
     # -- read accessors used outside the machine step (run.py / sample.py /
     #    checkpoint.py); `...` indexing works per-chain and batched alike

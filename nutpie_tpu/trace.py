@@ -255,7 +255,10 @@ def assemble_trace(
     stat_dims = dict(_VECTOR_STATS)
     stat_dims.update(dims_map)
 
-    def coords_for(n_draws, offset=0):
+    def coords_for(n_draws):
+        # draw coords always start at 0 per ArviZ convention, including for
+        # resumed runs (resume slicing happens upstream in sample.py via
+        # num_tune - resume_offset; the zarr sink writes absolute offsets)
         c = dict(base_coords)
         c["draw"] = np.arange(n_draws)
         return c

@@ -52,6 +52,12 @@ class FlowConfig:
     scale_cap: float = 3.0     # bound on coupling log-scales
     grad_clip: float = 10.0
     update_freq: int = 64      # flow update cadence (chunk-aligned)
+    # "train_on_orbit" (reference use_orbit_for_training, wrapper.rs:222):
+    # additionally roll each draw's trajectory ENDPOINTS (z_minus/z_plus and
+    # their gradients) into the training window -- the extreme points of the
+    # orbit reach further into the tails than the selected draws, tripling
+    # the window's coverage per draw at the cost of four extra chunk buffers
+    use_orbit: bool = False
     # trainable Householder reflections interleaved after each coupling
     # (coordinate mixing beyond the alternating masks; reference
     # ``normalizing_flow.py:424-473``)

@@ -214,3 +214,20 @@ def test_masked_row_write():
     buf1 = jnp.zeros((4, 6))
     out1 = jax.vmap(masked_row_write)(buf1, idx, mask, jnp.ones(4))
     assert np.asarray(out1).sum() == 3
+
+
+def test_flat_jitter_mask():
+    # pymc-frontend helper, pure numpy (test lives here because
+    # test_pymc.py is module-skipped without pymc): jitter_rvs selects slices; the
+    # adapt_diag strategy disables jitter entirely
+    from nutpie_tpu.frontends.pymc import _flat_jitter_mask
+
+    order = ["a", "b_log__"]
+    sizes = {"a": 2, "b_log__": 3}
+    offsets = {"a": 0, "b_log__": 2}
+    m = _flat_jitter_mask(order, sizes, offsets, 5, None)
+    assert m.tolist() == [1, 1, 1, 1, 1]
+    m = _flat_jitter_mask(order, sizes, offsets, 5, {"b_log__"})
+    assert m.tolist() == [0, 0, 1, 1, 1]
+    m = _flat_jitter_mask(order, sizes, offsets, 5, None, enable=False)
+    assert m.tolist() == [0, 0, 0, 0, 0]

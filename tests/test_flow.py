@@ -201,3 +201,20 @@ def test_flow_funnel_100d_reference_gate():
     assert ess_x > 1000, ess_x
     fd = np.asarray(trace.sample_stats["fisher_distance"].values)
     assert np.nanmean(fd[:, -200:]) < 0.1
+
+
+def test_train_on_orbit():
+    # reference use_orbit_for_training (wrapper.rs:222): endpoints feed the
+    # training window; posterior quality preserved
+    model = compile_model_def(funnel(dim=5)).with_transform_adapt(
+        num_layers=4, hidden=16, train_steps=150, window=192,
+        learning_rate=2e-3,
+    )
+    trace = nutpie_tpu.sample(
+        model, chains=4, draws=500, tune=600, seed=12, progress_bar=False,
+        adaptation="flow", train_on_orbit=True,
+    )
+    v = np.asarray(trace.posterior["v"].values)
+    assert abs(v.std() - 3.0) < 0.9, v.std()
+    fd = np.asarray(trace.sample_stats["fisher_distance"].values)
+    assert np.nanmean(fd[:, -100:]) < 2.0

@@ -78,3 +78,22 @@ def test_transformed_vars_grouped():
     )
     assert "s" in trace.posterior
     assert np.all(np.asarray(trace.posterior["s"].values) > 0)
+
+
+def test_compile_kwargs_validated():
+    # invalid strategy/gradient_backend raise even before touching pymc
+    # internals (pymc must be importable for compile to start, so these
+    # only run where it exists)
+    pytest.importorskip("pymc")
+    import pymc as pm
+
+    with pm.Model() as m:
+        pm.Normal("x")
+    import nutpie_tpu
+
+    with pytest.raises(ValueError, match="initialization_strategy"):
+        nutpie_tpu.compile_pymc_model(
+            m, default_initialization_strategy="bogus"
+        )
+    with pytest.raises(ValueError, match="gradient_backend"):
+        nutpie_tpu.compile_pymc_model(m, gradient_backend="numba")

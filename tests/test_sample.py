@@ -256,7 +256,8 @@ def test_microcanonical_low_rank():
 
 
 def test_fleet_depth_cap():
-    # cap = ceil(log2(8 * median steps/draw)) in [5, maxdepth]
+    # cap = ceil(log2(depth_cap_factor * median steps/draw)), default
+    # factor 2.0, clipped to [4, maxdepth]
     import jax.numpy as jnp
 
     from nutpie_tpu.sampler.nuts import (
@@ -269,15 +270,15 @@ def test_fleet_depth_cap():
 
     bufs = Bufs()
     scal = jnp.full((4, 8, N_SCALAR_SLOTS), jnp.nan)
-    # median steps/draw = 24 -> ceil(log2(192)) = 8
+    # median steps/draw = 24 -> ceil(log2(2 * 24)) = 6
     scal = scal.at[:, :6, SCALAR_SLOTS["n_steps"]].set(24.0)
     bufs.scalars = scal
     cfg = NutsConfig(maxdepth=10)
-    assert int(fleet_depth_cap(cfg, bufs, 6)) == 8
+    assert int(fleet_depth_cap(cfg, bufs, 6)) == 6
     # one outlier at maxdepth does not move the median-based cap
     scal = scal.at[0, :6, SCALAR_SLOTS["n_steps"]].set(1023.0)
     bufs.scalars = scal
-    assert int(fleet_depth_cap(cfg, bufs, 6)) == 8
+    assert int(fleet_depth_cap(cfg, bufs, 6)) == 6
     # clipped to maxdepth when the fleet itself is deep
     scal = scal.at[:, :6, SCALAR_SLOTS["n_steps"]].set(1023.0)
     bufs.scalars = scal

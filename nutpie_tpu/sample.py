@@ -138,12 +138,13 @@ _RUNNER_CACHE: dict = {}
 
 def _cached_chunk_runner(model: ModelDef, cfg: NutsConfig, chunk_len: int,
                          dtype, n_chains: int, pool: bool,
-                         flow_train: bool = True, adapt_frozen: bool = False):
+                         flow_train: bool = True, adapt_frozen: bool = False,
+                         pool_step: bool = False):
     import weakref
 
     key = (
         id(model), cfg, chunk_len, jnp.dtype(dtype).name, n_chains, pool,
-        flow_train, adapt_frozen,
+        flow_train, adapt_frozen, pool_step,
     )
     hit = _RUNNER_CACHE.get(key)
     if hit is not None:
@@ -159,6 +160,7 @@ def _cached_chunk_runner(model: ModelDef, cfg: NutsConfig, chunk_len: int,
     runner = make_chunk_runner(
         model, cfg, chunk_len, dtype, pool_mass_matrix=pool,
         flow_train=flow_train, unroll=unroll, adapt_frozen=adapt_frozen,
+        pool_step_size=pool_step,
     )
     if len(_RUNNER_CACHE) > 64:
         _RUNNER_CACHE.clear()
@@ -414,12 +416,14 @@ class _BackgroundSampler:
             runner = _cached_chunk_runner(
                 model, cfg, self._chunk_len, dtype, self._n_chains,
                 self._settings.pool_mass_matrix, flow_train=True,
+                pool_step=getattr(self._settings, "pool_step_size", False),
             )
             # frozen variant for post-warmup chunks: no flow training and no
             # per-draw adaptation update compiled in
             runner_sampling = _cached_chunk_runner(
                 model, cfg, self._chunk_len, dtype, self._n_chains,
                 self._settings.pool_mass_matrix, flow_train=False,
+                pool_step=getattr(self._settings, "pool_step_size", False),
                 adapt_frozen=True,
             )
         if model.expand_needs_rng:

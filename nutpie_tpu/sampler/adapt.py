@@ -349,14 +349,22 @@ def diag_adapt_update(
     )
 
 
-def pool_adapt_state(adapt: DiagAdaptState, axis_name: Optional[str] = None):
-    """Pool mass-matrix statistics across chains (chunk-boundary collective).
+def pool_adapt_state(adapt: DiagAdaptState, axis_name: Optional[str] = None,
+                     pool_mass: bool = True, pool_step: bool = False):
+    """Pool adaptation state across chains (chunk-boundary collective).
 
-    Averages the Welford accumulators over the chains axis so every chain
-    adapts with the pooled posterior geometry -- an improvement over the
-    reference, whose chains never exchange adaptation state
-    (SURVEY.md section 2.5).  Called on the batched state (leading chains
-    axis) at chunk boundaries, where all chains sit at the same draw index.
+    ``pool_mass`` averages the Welford accumulators over the chains axis so
+    every chain adapts with the pooled posterior geometry -- an improvement
+    over the reference, whose chains never exchange adaptation state
+    (SURVEY.md section 2.5).  ``pool_step`` geometric-means the
+    dual-averaging step sizes: on a lockstep fleet the wall clock per chunk
+    is the MAX over chains of leapfrog steps, so per-chain step-size spread
+    directly inflates everyone's wall time (a chain at 2x smaller eps runs
+    2x more steps per draw that all chains wait out -- measured 2.2x sweep
+    inflation on the radon bench); all chains target the same posterior, so
+    a shared step size costs little acceptance while collapsing the tail.
+    Called on the batched state (leading chains axis) at chunk boundaries,
+    where all chains sit at the same draw index.
     """
     def pool_welford(w: WelfordState) -> WelfordState:
         # combine: total count, pooled mean, pooled within+between m2
@@ -373,9 +381,21 @@ def pool_adapt_state(adapt: DiagAdaptState, axis_name: Optional[str] = None):
                 count=jnp.broadcast_to(total / n_chains, w.count.shape),
             )
         raise NotImplementedError("psum pooling is applied outside shard_map")
-    return adapt._replace(
-        draws_cur=pool_welford(adapt.draws_cur),
-        grads_cur=pool_welford(adapt.grads_cur),
-        draws_bg=pool_welford(adapt.draws_bg),
-        grads_bg=pool_welford(adapt.grads_bg),
-    )
+    if pool_mass:
+        adapt = adapt._replace(
+            draws_cur=pool_welford(adapt.draws_cur),
+            grads_cur=pool_welford(adapt.grads_cur),
+            draws_bg=pool_welford(adapt.draws_bg),
+            grads_bg=pool_welford(adapt.grads_bg),
+        )
+    if pool_step:
+        da = adapt.da
+        def cmean(x):
+            return jnp.broadcast_to(jnp.mean(x, axis=0), x.shape)
+        adapt = adapt._replace(da=da._replace(
+            log_step=cmean(da.log_step),
+            log_step_bar=cmean(da.log_step_bar),
+            hbar=cmean(da.hbar),
+            mu=cmean(da.mu),
+        ))
+    return adapt

@@ -282,7 +282,8 @@ def fleet_depth_cap(cfg: NutsConfig, bufs, limit) -> jax.Array:
 
 def make_chunk_runner(model: ModelDef, cfg: NutsConfig, chunk_len: int, dtype,
                       pool_mass_matrix: bool = False, flow_train: bool = True,
-                      unroll: int = 1, adapt_frozen: bool = False):
+                      unroll: int = 1, adapt_frozen: bool = False,
+                      pool_step_size: bool = False):
     """Build the jitted function running one chunk of draws for all chains.
 
     ``flow_train=False`` compiles a variant without the flow-training stage
@@ -314,8 +315,11 @@ def make_chunk_runner(model: ModelDef, cfg: NutsConfig, chunk_len: int, dtype,
         chunk_start = jnp.asarray(chunk_start, jnp.int32)
         limit = jnp.asarray(limit, jnp.int32)
 
-        if pool_mass_matrix:
-            states = states._replace(adapt=pool_adapt_state(states.adapt))
+        if pool_mass_matrix or pool_step_size:
+            states = states._replace(adapt=pool_adapt_state(
+                states.adapt, pool_mass=pool_mass_matrix,
+                pool_step=pool_step_size,
+            ))
 
         # per-draw randomness, keyed by absolute draw index
         draw_ids = chunk_start + jnp.arange(chunk_len, dtype=jnp.int32)

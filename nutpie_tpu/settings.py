@@ -194,6 +194,7 @@ _FLAT_COMMON: dict[str, tuple[str, tuple[str, ...]]] = {
     "precision": ("precision", _ALL),
     "chunk_size": ("chunk_size", _ALL),
     "pool_mass_matrix": ("pool_mass_matrix", _ALL),
+    "pool_step_size": ("pool_step_size", _ALL),
     "num_try_init": ("num_try_init", _ALL),
 }
 
@@ -235,6 +236,10 @@ class _BaseSettings:
     chunk_size: Optional[int] = None
     # pool mass-matrix statistics across chains with a psum collective
     pool_mass_matrix: bool = False
+    # geometric-mean the step size across chains at chunk boundaries: on a
+    # lockstep fleet per-chain step-size spread directly inflates wall time
+    # (everyone waits for the smallest-step chain's deepest tree)
+    pool_step_size: bool = False
 
     _adaptation: str = "diag"
     _sampler: str = "nuts"

@@ -12,7 +12,7 @@ import pytest
 import nutpie_tpu
 from nutpie_tpu import diagnostics
 from nutpie_tpu.frontends.pyfunc import compile_model_def
-from nutpie_tpu.models import ill_conditioned_gaussian, radon
+from nutpie_tpu.models import ill_conditioned_gaussian, radon, std_normal
 
 pytestmark = pytest.mark.slow
 
@@ -85,3 +85,19 @@ def test_pooled_mass_matrix():
     assert np.median(spread) < 1.8, np.median(spread)
     x = np.asarray(trace.posterior["x"].values)
     assert abs(x.mean()) < 0.5
+
+
+def test_pool_step_size():
+    # shared step size across chains (lockstep-tail collapse): posterior
+    # must stay correct; step sizes equal across chains at chunk boundaries
+    model = compile_model_def(std_normal(3, mu=1.0, sigma=2.0))
+    trace = nutpie_tpu.sample(
+        model, chains=8, draws=400, tune=300, seed=5, progress_bar=False,
+        pool_step_size=True, chunk_size=50,
+    )
+    x = np.asarray(trace.posterior["x"].values)
+    assert abs(x.mean() - 1.0) < 0.1
+    assert abs(x.std() - 2.0) < 0.15
+    eps = np.asarray(trace.sample_stats["step_size"].values)
+    # every post-warmup chunk starts with the pooled (identical) step
+    np.testing.assert_allclose(eps[:, 0], eps[0, 0], rtol=1e-6)

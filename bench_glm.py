@@ -39,9 +39,9 @@ def main() -> None:
     total = TUNE + DRAWS
 
     init_fn = make_init_fn(model, cfg, dtype)
-    runner = make_chunk_runner(model, cfg, CHUNK, dtype, unroll=8)
+    runner = make_chunk_runner(model, cfg, CHUNK, dtype, unroll=4)
     runner_frozen = make_chunk_runner(
-        model, cfg, CHUNK, dtype, unroll=8, adapt_frozen=True
+        model, cfg, CHUNK, dtype, unroll=4, adapt_frozen=True
     )
     cols = jnp.arange(0, DIM, max(1, DIM // 24), dtype=jnp.int32)
 

@@ -251,6 +251,52 @@ def in_jupyter() -> bool:
         return False
 
 
+def in_marimo() -> bool:
+    """marimo notebook detection (reference ``sample.py:359-425``)."""
+    try:
+        import marimo
+
+        return bool(marimo.running_in_notebook())
+    except Exception:
+        return False
+
+
+def in_databricks() -> bool:
+    """Databricks notebook detection (reference ``sample.py:429-445``:
+    presence of the DATABRICKS_RUNTIME_VERSION env)."""
+    import os
+
+    return "DATABRICKS_RUNTIME_VERSION" in os.environ
+
+
+class MarimoHandler(HTMLHandler):
+    """Progress via marimo's replaceable output (reference
+    ``sample.py:561-582``): renders the same HTML table through
+    ``mo.output.replace``.  Does not require IPython (marimo environments
+    may lack it); ``_display`` mimics IPython's handle protocol."""
+
+    def __init__(self, rate_ms: int = 100, template: Optional[str] = None,
+                 style: Optional[str] = None):
+        import marimo as mo
+
+        ProgressHandler.__init__(self, rate_ms)
+
+        class _Handle:
+            def update(_self, h):
+                body = getattr(h, "data", h)
+                mo.output.replace(mo.Html(body))
+
+        def _display(html, display_id=True):
+            handle = _Handle()
+            handle.update(html)
+            return handle
+
+        self._display = _display
+        self._handle = None
+        self._template = template
+        self._style = style or ""
+
+
 def make_progress_handlers(
     progress_bar: bool,
     progress_callback: Optional[Callable],
@@ -262,13 +308,22 @@ def make_progress_handlers(
     if progress_callback is not None:
         handlers.append(CallbackHandler(progress_callback, progress_rate))
     if progress_bar:
-        if in_jupyter():
-            try:
+        # frontend selection mirrors the reference (sample.py:526-584):
+        # marimo > jupyter/databricks HTML > terminal; every fallback lands
+        # on the terminal bar, and handler errors never kill sampling
+        try:
+            if in_marimo():
                 handlers.append(
-                    HTMLHandler(progress_rate, progress_template, progress_style)
+                    MarimoHandler(progress_rate, progress_template,
+                                  progress_style)
                 )
-            except Exception:
+            elif in_jupyter() or in_databricks():
+                handlers.append(
+                    HTMLHandler(progress_rate, progress_template,
+                                progress_style)
+                )
+            else:
                 handlers.append(TerminalHandler(progress_rate))
-        else:
+        except Exception:
             handlers.append(TerminalHandler(progress_rate))
     return handlers

@@ -29,8 +29,10 @@ The previous hard-coded estimate (~2000 ESS/s from ~20us gradients,
 """
 
 import json
+import subprocess
 import sys
 import time
+import traceback
 
 import numpy as np
 
@@ -54,6 +56,57 @@ CHAINS = 2048
 TUNE = 300
 DRAWS = 3000
 CHUNK = 32
+
+
+def _emit_error(stage: str, err: str) -> None:
+    """Print the contract JSON line with an ``error`` field (still one
+    line, still parseable) so a wedged chip yields a diagnosable record
+    instead of a raw traceback."""
+    print(json.dumps({
+        "metric": "radon_aggregate_min_ess_per_s",
+        "value": 0.0,
+        "unit": "ESS/s",
+        "vs_baseline": 0.0,
+        "error": f"{stage}: {err[:2000]}",
+    }))
+
+
+def _probe_backend(max_attempts: int = 6, probe_timeout: int = 150,
+                   sleep_s: int = 150) -> tuple[bool, int, str]:
+    """Bounded backend-initialization probe in a SUBPROCESS.
+
+    The axon/TPU tunnel occasionally wedges after a worker crash: a bare
+    ``jax.devices()`` then hangs indefinitely or raises UNAVAILABLE, and
+    recovery takes 5-15 minutes.  Probing in-process would hang the whole
+    bench; a subprocess with a timeout is killable.  Retries with a fixed
+    backoff cover the recovery window (~6 x 150s = 15 min worst case).
+    Returns (ok, attempts_used, last_error).
+    """
+    code = (
+        "import jax, jax.numpy as jnp; "
+        "x = jnp.ones((256, 256)); "
+        "print('PROBE_OK', jax.devices()[0], float((x @ x).sum()))"
+    )
+    last_err = ""
+    for attempt in range(1, max_attempts + 1):
+        try:
+            r = subprocess.run(
+                [sys.executable, "-c", code], capture_output=True,
+                text=True, timeout=probe_timeout,
+            )
+            if r.returncode == 0 and "PROBE_OK" in r.stdout:
+                return True, attempt, ""
+            tail = (r.stderr or r.stdout).strip().splitlines()
+            last_err = tail[-1][:500] if tail else f"rc={r.returncode}"
+        except subprocess.TimeoutExpired:
+            last_err = f"backend probe timed out after {probe_timeout}s"
+        except Exception as exc:  # pragma: no cover - defensive
+            last_err = f"{type(exc).__name__}: {exc}"
+        print(f"# probe attempt {attempt}/{max_attempts} failed: "
+              f"{last_err}", file=sys.stderr)
+        if attempt < max_attempts:
+            time.sleep(sleep_s)
+    return False, max_attempts, last_err
 
 
 def run_baseline() -> None:
@@ -389,4 +442,29 @@ if __name__ == "__main__":
     elif "--scaling" in sys.argv:
         run_scaling()
     else:
-        main()
+        ok, attempts, err = _probe_backend()
+        if not ok:
+            _emit_error("backend_init", err)
+            sys.exit(1)
+        if attempts > 1:
+            print(f"# backend came up after {attempts} probe attempts",
+                  file=sys.stderr)
+        try:
+            main()
+        except Exception:
+            tb = traceback.format_exc().strip().splitlines()
+            # One full retry: a mid-run worker crash usually recovers
+            # within the probe window, and the XLA compile cache makes
+            # the second attempt cheap.
+            print(f"# bench run failed ({tb[-1]}); re-probing and "
+                  "retrying once", file=sys.stderr)
+            ok, _, err = _probe_backend(max_attempts=4)
+            if not ok:
+                _emit_error("backend_reinit", err)
+                sys.exit(1)
+            try:
+                main()
+            except Exception:
+                tb = traceback.format_exc().strip().splitlines()
+                _emit_error("run", " | ".join(tb[-3:]))
+                sys.exit(1)

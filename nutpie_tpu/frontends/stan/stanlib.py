@@ -275,9 +275,13 @@ def ordered_logistic_lpmf(y, eta, c):
 def multinomial_lpmf(y, theta):
     y, theta = _as_f(y), _as_f(theta)
     n = jnp.sum(y, axis=-1)
+    # multiply_log semantics: 0 * log(0) == 0 so boundary simplex values
+    # with y_i == 0 don't poison the logp (Stan's multinomial_lpmf does the
+    # same via multiply_log).
+    ylogt = jnp.where(y > 0, y * jnp.log(theta), 0.0)
     return (
         jsp.gammaln(n + 1) - jnp.sum(jsp.gammaln(y + 1), axis=-1)
-        + jnp.sum(y * jnp.log(theta), axis=-1)
+        + jnp.sum(ylogt, axis=-1)
     )
 
 
@@ -654,7 +658,9 @@ RNG_FUNCTIONS = {
     ).astype(jnp.int32),
     "ordered_logistic_rng": lambda key, eta, c: (
         jnp.sum(
-            jax.random.logistic(key, ()) + jnp.asarray(eta)
+            (jax.random.logistic(key, jnp.shape(eta)) + jnp.asarray(eta))[
+                ..., None
+            ]
             > jnp.atleast_1d(jnp.asarray(c)), axis=-1
         ) + 1
     ).astype(jnp.int32),

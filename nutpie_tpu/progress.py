@@ -201,11 +201,19 @@ class HTMLHandler(ProgressHandler):
         self._template = template
         self._style = style or ""
 
-    def _render(self, progress):
+    def _wrap(self, body: str):
+        """Wrap the rendered HTML body for display.  Subclasses that do
+        not go through IPython (marimo) override this to pass the raw
+        string through."""
         from IPython.display import HTML
 
+        return HTML(body)
+
+    def _render(self, progress):
         if self._template:
-            html = HTML(self._style + render_template(self._template, progress))
+            html = self._wrap(
+                self._style + render_template(self._template, progress)
+            )
             if self._handle is None:
                 self._handle = self._display(html, display_id=True)
             else:
@@ -224,7 +232,7 @@ class HTMLHandler(ProgressHandler):
                 f"<td>{p.step_size:.3g}</td>"
                 f"<td>{p.total_num_steps}</td></tr>"
             )
-        html = HTML(
+        html = self._wrap(
             self._style
             + "<table><thead><tr><th>chain</th><th></th><th>draws</th>"
             "<th>divergences</th><th>phase</th><th>step size</th>"
@@ -273,7 +281,8 @@ class MarimoHandler(HTMLHandler):
     """Progress via marimo's replaceable output (reference
     ``sample.py:561-582``): renders the same HTML table through
     ``mo.output.replace``.  Does not require IPython (marimo environments
-    may lack it); ``_display`` mimics IPython's handle protocol."""
+    may lack it): ``_wrap`` passes the raw HTML string through and
+    ``_display`` mimics IPython's handle protocol."""
 
     def __init__(self, rate_ms: int = 100, template: Optional[str] = None,
                  style: Optional[str] = None):
@@ -295,6 +304,9 @@ class MarimoHandler(HTMLHandler):
         self._handle = None
         self._template = template
         self._style = style or ""
+
+    def _wrap(self, body: str):
+        return body
 
 
 def make_progress_handlers(

@@ -46,8 +46,8 @@ class Schedule(NamedTuple):
     # everyone's wall clock for one chain's draw quality.  The cap bounds
     # per-draw work at ~8x the fleet median; it is recomputed from each
     # warmup chunk and FROZEN alongside the mass matrix for the posterior
-    # phase, so the post-warmup transition kernel stays fixed.  Default 32
-    # (> any maxdepth) = inert.
+    # phase, so the post-warmup transition kernel stays fixed.  Default
+    # 2**30 (> any maxdepth) = truly inert.
     depth_cap: jax.Array    # i32
 
 
@@ -60,7 +60,7 @@ def make_schedule(cfg: "AdaptConfig", num_tune: int,
             num_tune - int(cfg.freeze_share * num_tune), jnp.int32
         ),
         depth_cap=jnp.asarray(
-            32 if depth_cap is None else depth_cap, jnp.int32
+            2 ** 30 if depth_cap is None else depth_cap, jnp.int32
         ),
     )
 

@@ -259,7 +259,7 @@ def init_chains(
 def fleet_depth_cap(cfg: NutsConfig, bufs, limit) -> jax.Array:
     """Fleet-relative tree-depth cap from one warmup chunk's step counts.
 
-    ``ceil(log2(8 * median steps/draw))`` clipped to ``[5, maxdepth]`` --
+    ``ceil(log2(8 * median steps/draw))`` clipped to ``[4, maxdepth]`` --
     bounds any one chain's per-draw work at ~8x the fleet median (a chain
     that genuinely needs deeper trees only hits the cap when it is an
     outlier *relative to the fleet*; a uniformly hard geometry raises the

@@ -53,10 +53,11 @@ class FlowConfig:
     grad_clip: float = 10.0
     update_freq: int = 64      # flow update cadence (chunk-aligned)
     # "train_on_orbit" (reference use_orbit_for_training, wrapper.rs:222):
-    # additionally roll each draw's trajectory ENDPOINTS (z_minus/z_plus and
-    # their gradients) into the training window -- the extreme points of the
-    # orbit reach further into the tails than the selected draws, tripling
-    # the window's coverage per draw at the cost of four extra chunk buffers
+    # additionally roll one uniformly reservoir-sampled leaf per trajectory
+    # (its position and gradient, kept in the orbit_position/orbit_gradient
+    # chunk buffers) into the training window -- orbit leaves reach further
+    # into the tails than the multinomially selected draws, doubling the
+    # window's coverage per draw at the cost of two extra chunk buffers
     use_orbit: bool = False
     # trainable Householder reflections interleaved after each coupling
     # (coordinate mixing beyond the alternating masks; reference

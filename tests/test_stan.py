@@ -529,3 +529,55 @@ def test_unsupported_types_precise_errors():
             code = code + snippet
         with pytest.raises(StanCompileError, match="not supported"):
             nutpie_tpu.compile_stan_model(code=code)
+
+
+def test_ordered_logistic_rng_vector_eta():
+    """Vector eta in generated quantities draws per-element independent
+    categories (ADVICE r2: scalar noise made draws perfectly correlated
+    and vector eta raised a shape error outright)."""
+    import jax
+    import jax.numpy as jnp
+
+    from nutpie_tpu.frontends.stan import stanlib
+
+    rng = stanlib.RNG_FUNCTIONS["ordered_logistic_rng"]
+    c = jnp.array([-1.0, 0.5, 2.0])
+    key = jax.random.key(0)
+    eta = jnp.zeros(2000)
+    draws = np.asarray(rng(key, eta, c))
+    assert draws.shape == (2000,)
+    assert draws.min() >= 1 and draws.max() <= 4
+    # all four categories appear, and elements are not all identical
+    assert set(np.unique(draws)) == {1, 2, 3, 4}
+    # frequencies match the logistic-CDF category probabilities
+    sig = lambda x: 1 / (1 + np.exp(-x))
+    expected = np.diff([0.0, sig(0 - (-1.0)), sig(0 - 0.5), sig(0 - 2.0), 1.0])
+    expected = np.array([
+        1 - sig(0 - (-1.0)),
+        sig(0 - (-1.0)) - sig(0 - 0.5),
+        sig(0 - 0.5) - sig(0 - 2.0),
+        sig(0 - 2.0),
+    ])
+    freqs = np.bincount(draws, minlength=5)[1:5] / draws.size
+    np.testing.assert_allclose(freqs, expected, atol=0.04)
+    # scalar eta still works
+    one = np.asarray(rng(key, jnp.asarray(0.3), c))
+    assert one.shape == () and 1 <= int(one) <= 4
+
+
+def test_multinomial_lpmf_boundary_simplex():
+    """0 * log(0) == 0 (Stan multiply_log semantics): a category with
+    theta_i == 0 and y_i == 0 must not poison the logp (ADVICE r2)."""
+    import scipy.stats as st
+
+    from nutpie_tpu.frontends.stan import stanlib
+
+    theta = np.array([0.0, 0.4, 0.6])
+    y = np.array([0, 4, 6])
+    v = float(stanlib.multinomial_lpmf(y, theta))
+    assert np.isfinite(v)
+    expected = st.multinomial.logpmf(y[1:], 10, theta[1:])
+    assert abs(v - expected) < 2e-5
+    # logit path too (softmax theta is never exactly 0, just smoke)
+    v = float(stanlib.multinomial_logit_lpmf(y, np.array([-30.0, 0.0, 0.4])))
+    assert np.isfinite(v)

@@ -351,7 +351,12 @@ class _BackgroundSampler:
         self._error: Optional[BaseException] = None
         self._progress: list[ChainProgress] = []
         self._start_time = time.monotonic()
+        # first-K divergent draw indices per chain (total counts live in
+        # ChainProgress.divergences); unbounded accumulation at 2048 chains
+        # x heavy divergence counts is real host memory/CPU, and renderers
+        # only ever show a handful (reference caps render work in Rust)
         self._divergent_draws: list[list[int]] = [[] for _ in range(self._n_chains)]
+        self._max_divergent_draws = 100
 
         self._thread = threading.Thread(target=self._run, daemon=True)
         self._thread.start()
@@ -582,8 +587,15 @@ class _BackgroundSampler:
                     self._draws_done = p_start + p_limit
                     div_rows = chunk["stats"]["diverging"]
                     for c in range(self._n_chains):
+                        room = self._max_divergent_draws - len(
+                            self._divergent_draws[c]
+                        )
+                        if room <= 0:
+                            continue
                         idxs = np.nonzero(div_rows[c])[0] + p_start
-                        self._divergent_draws[c].extend(int(i) for i in idxs)
+                        self._divergent_draws[c].extend(
+                            int(i) for i in idxs[:room]
+                        )
                 if sink is not None:
                     sink.append_chunk(chunk, p_start, sink_dims, sink_coords)
                 prev_n_steps = chunk["stats"]["n_steps"]

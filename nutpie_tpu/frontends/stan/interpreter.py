@@ -113,6 +113,62 @@ class UserFunction:
         return None
 
 
+# minimum trip count before a for loop is compiled as one traced body
+# (vmap/scan) instead of unrolled; below this, unrolling fuses better and
+# keeps integer/constant folding exact
+_BATCH_MIN_TRIP = 32
+
+
+def _analyze_loop_body(stmts):
+    """Names written / declared in a loop body, plus whether the body uses
+    control flow that cannot cross a scan boundary (break/continue at this
+    loop's level, or return anywhere)."""
+    import dataclasses as _dc
+
+    written: list[str] = []
+    declared: set[str] = set()
+    bail = False
+
+    def visit(node, loop_depth):
+        nonlocal bail
+        if bail:
+            return
+        if isinstance(node, A.Return):
+            bail = True
+            return
+        if isinstance(node, (A.Break, A.Continue)) and loop_depth == 0:
+            bail = True
+            return
+        if isinstance(node, A.Call) and node.name == "target":
+            # target() inside a batched body would read a zeroed local
+            # accumulator, not the running total
+            bail = True
+            return
+        if isinstance(node, A.Decl):
+            declared.add(node.name)
+        if isinstance(node, A.Assign):
+            tgt = node.target
+            while isinstance(tgt, A.Index):
+                tgt = tgt.base
+            if isinstance(tgt, A.Var):
+                if tgt.name not in written:
+                    written.append(tgt.name)
+            else:
+                bail = True
+                return
+        child_depth = loop_depth + (1 if isinstance(node, (A.For, A.While))
+                                    else 0)
+        if _dc.is_dataclass(node):
+            for f in _dc.fields(node):
+                visit(getattr(node, f.name), child_depth)
+        elif isinstance(node, (list, tuple)):
+            for item in node:
+                visit(item, loop_depth)
+
+    visit(list(stmts), 0)
+    return written, declared, bail
+
+
 def _uses_rng(stmts) -> bool:
     import dataclasses as _dc
 
@@ -372,6 +428,16 @@ class StanInterpreter:
             hi = _static_int(
                 self.eval_expr(stmt.upper, env, ctx), stmt, "loop bound"
             )
+            # Big data loops compile to one traced body (vmap or lax.scan)
+            # instead of unrolling hi-lo+1 copies into the XLA graph: trace
+            # and compile time become O(1) in N (the reference's C++ handles
+            # any N, src/stan.rs:449-463; unrolling a 10k-observation loop
+            # explodes the graph).  Small loops keep unrolling -- XLA fuses
+            # them fully and constant folding stays exact.
+            if hi + 1 - lo >= _BATCH_MIN_TRIP and self._exec_for_batched(
+                stmt, env, ctx, lo, hi
+            ):
+                return
             for i in range(lo, hi + 1):
                 env[stmt.var] = i
                 try:
@@ -429,6 +495,103 @@ class StanInterpreter:
         raise StanCompileError(
             f"unsupported statement {type(stmt).__name__}", stmt.line, stmt.col
         )
+
+    def _exec_for_batched(self, stmt: A.For, env: dict, ctx: Ctx,
+                          lo: int, hi: int) -> bool:
+        """Compile a big for loop as ONE traced body instead of unrolling.
+
+        Two tiers:
+
+        - **vmap** when the body only accumulates ``target`` (sampling
+          statements / ``target +=``) and touches no outer variables: the
+          idiomatic Stan data loop ``for (n in 1:N) y[n] ~ dist(...)``
+          becomes a fully vectorized batch -- compile time O(1) in N and
+          runtime on the TPU vector units instead of a serial chain.
+        - **lax.scan** when the body carries state across iterations
+          (accumulators, ``mu[n] = ...`` writes, ``_rng`` draws): compile
+          time O(1) in N, runtime serial.  The RNG key chain inside scan is
+          identical to the unrolled path (the key is carried and split per
+          call exactly as the tree-walker would), so draws do not depend on
+          which tier executed.
+
+        Returns False (caller unrolls) when analysis or tracing shows the
+        body cannot cross a scan boundary: break/continue/return, ragged
+        slices ``x[1:n]``, if/loop bounds depending on the loop variable,
+        integer-scalar accumulators (their value may feed later array
+        shapes, which must stay concrete), or shape-changing assignments.
+        """
+        written, declared, bail = _analyze_loop_body(stmt.body)
+        if bail:
+            return False
+        carried = [nm for nm in written if nm in env and nm not in declared]
+        uses_rng = _uses_rng(stmt.body)
+        if uses_rng and ctx.rng_key is None:
+            return False  # unrolled path raises the precise error
+        for nm in carried:
+            v = env[nm]
+            if np.ndim(v) == 0 and (
+                isinstance(v, (bool, int, np.bool_, np.integer))
+                or (hasattr(v, "dtype") and v.dtype.kind in "ib")
+            ):
+                return False  # int scalar accumulators may feed shapes
+        ns = jnp.arange(lo, hi + 1)
+
+        try:
+            if not carried and not uses_rng:
+                def body_target(n):
+                    local_env = dict(env)
+                    local_env[stmt.var] = n
+                    local_ctx = Ctx(ctx.mode)
+                    self.exec_stmts(stmt.body, local_env, local_ctx)
+                    return jnp.asarray(local_ctx.target,
+                                       jnp.result_type(float))
+
+                deltas = jax.vmap(body_target)(ns)
+                ctx.target = ctx.target + jnp.sum(deltas)
+                return True
+
+            init_vals = tuple(jnp.asarray(env[nm]) for nm in carried)
+            key0 = ctx.rng_key if uses_rng else jax.random.key(0)
+
+            def body_fn(carry, n):
+                target, key, vals = carry
+                local_env = dict(env)
+                local_env.update(zip(carried, vals))
+                local_env[stmt.var] = n
+                local_ctx = Ctx(ctx.mode, rng_key=key if uses_rng else None)
+                self.exec_stmts(stmt.body, local_env, local_ctx)
+                new_vals = tuple(
+                    jnp.asarray(local_env[nm]).astype(init.dtype).reshape(
+                        init.shape
+                    )
+                    for nm, init in zip(carried, init_vals)
+                )
+                new_key = local_ctx.rng_key if uses_rng else key
+                return (
+                    target + jnp.asarray(local_ctx.target,
+                                         jnp.result_type(float)),
+                    new_key, new_vals,
+                ), None
+
+            (total, key_out, final_vals), _ = jax.lax.scan(
+                body_fn,
+                (jnp.zeros((), jnp.result_type(float)), key0, init_vals),
+                ns,
+            )
+            ctx.target = ctx.target + total
+            if uses_rng:
+                ctx.rng_key = key_out
+            env.update(zip(carried, final_vals))
+            return True
+        except (_BreakLoop, _ContinueLoop, _ReturnValue):
+            return False
+        except (StanCompileError, StanRuntimeError):
+            return False
+        except Exception:
+            # any trace-time failure (concretization of the loop variable,
+            # shape mismatch in the carry, ...) -> semantics-preserving
+            # unroll; nothing was mutated (the body ran on local copies)
+            return False
 
     def _decl_shape_dynamic(self, decl: A.Decl, env, ctx) -> tuple:
         type_dims = tuple(
@@ -616,25 +779,28 @@ class StanInterpreter:
             return jnp.asarray(left) / jnp.asarray(right)
         if op in ("^", ".^"):
             return jnp.asarray(left) ** jnp.asarray(right)
+        # comparisons/logicals stay concrete for concrete operands so
+        # if/while conditions on loop counters and data remain static
+        xp = np if (_is_concrete(left) and _is_concrete(right)) else jnp
         if op == "==":
-            return jnp.asarray(left) == jnp.asarray(right)
+            return xp.asarray(left) == xp.asarray(right)
         if op == "!=":
-            return jnp.asarray(left) != jnp.asarray(right)
+            return xp.asarray(left) != xp.asarray(right)
         if op == "<":
-            return jnp.asarray(left) < jnp.asarray(right)
+            return xp.asarray(left) < xp.asarray(right)
         if op == "<=":
-            return jnp.asarray(left) <= jnp.asarray(right)
+            return xp.asarray(left) <= xp.asarray(right)
         if op == ">":
-            return jnp.asarray(left) > jnp.asarray(right)
+            return xp.asarray(left) > xp.asarray(right)
         if op == ">=":
-            return jnp.asarray(left) >= jnp.asarray(right)
+            return xp.asarray(left) >= xp.asarray(right)
         if op == "&&":
-            return jnp.logical_and(
-                jnp.asarray(left) != 0, jnp.asarray(right) != 0
+            return xp.logical_and(
+                xp.asarray(left) != 0, xp.asarray(right) != 0
             )
         if op == "||":
-            return jnp.logical_or(
-                jnp.asarray(left) != 0, jnp.asarray(right) != 0
+            return xp.logical_or(
+                xp.asarray(left) != 0, xp.asarray(right) != 0
             )
         raise StanCompileError(f"unsupported operator {op!r}", node.line, node.col)
 
@@ -682,10 +848,14 @@ class StanInterpreter:
         if isinstance(node, A.Index):
             base = self.eval_expr(node.base, env, ctx)
             idx = tuple(self._indexers(node.indices, env, ctx))
-            arr = base if _is_concrete(base) else jnp.asarray(base)
-            if _is_concrete(base):
+            # a traced index (scan/vmap-compiled loop variable) forces the
+            # jnp gather path even for concrete data arrays
+            traced_idx = any(
+                not isinstance(i, slice) and not _is_concrete(i) for i in idx
+            )
+            if _is_concrete(base) and not traced_idx:
                 return np.asarray(base)[idx]
-            return arr[idx]
+            return jnp.asarray(base)[idx]
         if isinstance(node, A.ArrayLit):
             vals = [self.eval_expr(e, env, ctx) for e in node.elements]
             if all(_is_concrete(v) for v in vals):

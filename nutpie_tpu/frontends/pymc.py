@@ -165,6 +165,26 @@ class CompiledPyMCModel(CompiledModel):
             (out,) = logp_parts(*split(x))
             return jnp.asarray(out)
 
+        # gradient_backend="pytensor": derive the gradient graph in
+        # PyTensor (its rewrites see the original graph) and lower
+        # logp+grads to JAX together (reference compile_pymc.py:449-520);
+        # "jax" differentiates the lowered logp with jax.value_and_grad
+        logp_grad_fn = None
+        if self._gradient_backend == "pytensor":
+            import pytensor.tensor as pt
+
+            grad_graphs = pt.grad(logp_graph, value_vars)
+            both_parts = _jaxify(value_vars, [logp_graph, *grad_graphs])
+
+            def logp_grad_fn(x):
+                outs = both_parts(*split(x))
+                lp = jnp.asarray(outs[0])
+                grad = jnp.concatenate([
+                    jnp.asarray(g).reshape(-1).astype(x.dtype)
+                    for g in outs[1:]
+                ]) if ndim else jnp.zeros_like(x)
+                return lp, grad
+
         # ---- expand: constrained RVs + deterministics
         from pymc.util import get_default_varnames
 
@@ -264,6 +284,7 @@ class CompiledPyMCModel(CompiledModel):
             coords={k: list(v) for k, v in model.coords.items() if v is not None},
             init_point_fn=init_point_fn,
             reparameterized_names=reparameterized,
+            logp_grad_fn=logp_grad_fn,
         )
 
 

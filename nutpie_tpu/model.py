@@ -65,6 +65,12 @@ class ModelDef:
     coords: dict = dataclasses.field(default_factory=dict)
     init_point_fn: Optional[Callable[[jax.Array, jax.Array], jax.Array]] = None
     reparameterized_names: tuple[str, ...] = ()
+    # optional fused x -> (logp, grad) override.  Default is
+    # jax.value_and_grad(logp_fn); frontends that build the gradient graph
+    # themselves (PyMC gradient_backend="pytensor", where PyTensor derives
+    # the grad before lowering to JAX; reference compile_pymc.py:449-520)
+    # install it here.
+    logp_grad_fn: Optional[Callable] = None
 
     def __post_init__(self):
         if not self.param_variables:
@@ -94,6 +100,8 @@ class ModelDef:
         return unconstrained_coord_labels(self.param_variables)
 
     def logp_and_grad(self, x: jax.Array) -> tuple[jax.Array, jax.Array]:
+        if self.logp_grad_fn is not None:
+            return self.logp_grad_fn(x)
         return jax.value_and_grad(self.logp_fn)(x)
 
     def initial_position(self, key: jax.Array, init_mean: jax.Array) -> jax.Array:
@@ -200,6 +208,7 @@ def make_model(
     init_point_fn: Optional[Callable] = None,
     reparameterized_names: Sequence[str] = (),
     expand_needs_rng: bool = False,
+    logp_grad_fn: Optional[Callable] = None,
 ) -> ModelDef:
     """Convenience constructor resolving variable metadata."""
     dim_sizes: dict[str, int] = {}
@@ -236,4 +245,5 @@ def make_model(
         coords=coords,
         init_point_fn=init_point_fn,
         reparameterized_names=tuple(reparameterized_names),
+        logp_grad_fn=logp_grad_fn,
     )

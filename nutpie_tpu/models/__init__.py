@@ -9,6 +9,7 @@ logistic GLM.
 from .analytic import (
     eight_schools,
     funnel,
+    hierarchical_funnel,
     ill_conditioned_gaussian,
     logistic_glm,
     std_normal,
@@ -18,6 +19,7 @@ from .radon import radon
 __all__ = [
     "std_normal",
     "funnel",
+    "hierarchical_funnel",
     "ill_conditioned_gaussian",
     "eight_schools",
     "logistic_glm",

@@ -66,6 +66,57 @@ def funnel(dim: int = 10, scale: float = 3.0) -> ModelDef:
     )
 
 
+def hierarchical_funnel(groups: int = 8, dim: int = 8,
+                        scale: float = 1.5) -> ModelDef:
+    """Hierarchical funnel (BASELINE benchmark config "hierarchical funnel
+    via nf-adapt"): a funnel of funnels.
+
+    tau ~ N(0, scale^2); per-group v_g ~ N(0, exp(tau/2)^2);
+    x_{g,i} ~ N(0, exp(v_g/2)^2).  Both hierarchy levels need the
+    reparameterization a trained flow provides; diagonal mass matrices
+    fail on the nested geometry.  ndim = 1 + groups + groups*dim with
+    layout [tau, v_1..v_G, x_11..x_GK].
+    """
+
+    G, K = groups, dim
+    ndim = 1 + G + G * K
+
+    def logp(q):
+        tau = q[0]
+        v = q[1 : 1 + G]
+        x = q[1 + G :].reshape(G, K)
+        logp_tau = -0.5 * (tau / scale) ** 2
+        logp_v = -0.5 * jnp.sum(v * v) * jnp.exp(-tau) - 0.5 * G * tau
+        logp_x = (
+            -0.5 * jnp.sum(jnp.sum(x * x, axis=1) * jnp.exp(-v))
+            - 0.5 * K * jnp.sum(v)
+        )
+        return logp_tau + logp_v + logp_x
+
+    def expand(q):
+        return {
+            "tau": q[0],
+            "v": q[1 : 1 + G],
+            "x": q[1 + G :].reshape(G, K),
+        }
+
+    return make_model(
+        ndim,
+        logp,
+        expand_fn=expand,
+        expanded_vars=[
+            ("tau", np.float64, (), None),
+            ("v", np.float64, (G,), ("group",)),
+            ("x", np.float64, (G, K), ("group", "x_dim")),
+        ],
+        param_vars=[
+            ("tau", np.float64, (), None),
+            ("v", np.float64, (G,), ("group",)),
+            ("x", np.float64, (G * K,), ("group_x",)),
+        ],
+    )
+
+
 def ill_conditioned_gaussian(
     dim: int = 1000, condition: float = 1e4, seed: int = 0, correlate: bool = True
 ) -> ModelDef:

@@ -583,7 +583,12 @@ class _BackgroundSampler:
                 expanded = expand(p_bufs.position, p_start)
                 chunk = self._chunk_to_host(p_bufs, expanded, p_limit)
                 with self._lock:
-                    self._chunks.append(chunk)
+                    # zarr runs stream to the store and return a
+                    # store-backed trace; holding every chunk in host
+                    # memory as well would defeat streaming at 10k+ chains
+                    # (reference reopens the store, sample.py:615-627)
+                    if sink is None or self._return_raw_trace:
+                        self._chunks.append(chunk)
                     self._draws_done = p_start + p_limit
                     div_rows = chunk["stats"]["diverging"]
                     for c in range(self._n_chains):
@@ -718,10 +723,18 @@ class _BackgroundSampler:
         return out
 
     def _extract(self, raw: Optional[dict]):
+        if self._return_raw_trace and raw is not None:
+            return raw
+        if self._zarr_store is not None and not self._return_raw_trace:
+            # store-backed trace (reference parity: zarr runs reopen the
+            # store read-only instead of materializing draws on the host,
+            # sample.py:615-627); arrays load lazily on access
+            if self._draws_done > 0:
+                from .trace import open_zarr_trace
+
+                return open_zarr_trace(self._zarr_store)
         if raw is None:
             raise RuntimeError("No draws were produced")
-        if self._return_raw_trace:
-            return raw
         model = self._model
         dims_map: dict[str, tuple[str, ...]] = {}
         for v in model.expanded_variables:
@@ -788,7 +801,7 @@ class _BackgroundSampler:
         if self._error is not None:
             raise self._error
         raw = self._collect()
-        if raw is None:
+        if raw is None and (self._zarr_store is None or self._draws_done == 0):
             return None
         return self._extract(raw)
 

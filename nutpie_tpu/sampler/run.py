@@ -199,7 +199,7 @@ def make_init_fn(
         state = init_machine_state(cfg, chain_key, pos, grad, logp, dtype)
         if step_search:
             state = find_initial_step(
-                cfg, lambda x: jax.value_and_grad(model.logp_fn)(x), state
+                cfg, model.logp_and_grad, state
             )
         return state, ok
 
@@ -295,6 +295,11 @@ def make_chunk_runner(model: ModelDef, cfg: NutsConfig, chunk_len: int, dtype,
     (the step is fully masked, so over-stepping a finished chain is a
     no-op; reduces loop-bookkeeping overhead).
     """
+    # decide the row-write lowering (scatter vs select) EAGERLY, outside the
+    # trace: on TPU this runs a one-time device correctness probe
+    from ..ops.row_write import _use_select
+
+    _use_select()
 
     if cfg.flow is not None:
         from ..transforms.flow import make_flow_logp
@@ -307,7 +312,7 @@ def make_chunk_runner(model: ModelDef, cfg: NutsConfig, chunk_len: int, dtype,
     else:
 
         def logp_and_grad(x, adapt):
-            return jax.value_and_grad(model.logp_fn)(x)
+            return model.logp_and_grad(x)
 
     def run_chunk(states: NutsMachineState, chunk_start, limit, sched: Schedule):
         n_chains = states.done.shape[0]

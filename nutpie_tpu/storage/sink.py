@@ -17,6 +17,18 @@ import numpy as np
 from ..trace import _VECTOR_STATS
 from .zarr_writer import ZarrTraceWriter
 
+# object/str stats (divergence_message) persist as fixed-width UCS4 --
+# zarr v2 has no variable-length string codec without the VLenUTF8 filter,
+# and fixed "<U..." arrays open cleanly in zarr-python/xarray.  Longer
+# messages truncate (the reference's messages are ~60 chars).
+_STRING_WIDTH = 128
+
+
+def _storable(values: np.ndarray) -> np.ndarray:
+    if values.dtype.kind in ("O", "U"):
+        return values.astype(f"<U{_STRING_WIDTH}")
+    return values
+
 
 class ZarrTraceSink:
     def __init__(
@@ -65,8 +77,7 @@ class ZarrTraceSink:
             w.create_coord(group, "chain", np.arange(self._n_chains), "chain")
             w.create_coord(group, "draw", np.arange(total), "draw")
             for name, values in chunk[source].items():
-                if values.dtype.kind == "O":
-                    continue  # string/object stats stay in-memory only
+                values = _storable(values)
                 item_shape = values.shape[2:]
                 extra = dims_map.get(name)
                 if extra is None:
@@ -115,6 +126,11 @@ class ZarrTraceSink:
                      else max(0, self._start_offset - self._num_tune))
                     // chunk_draws * chunk_draws,
                 )
+        # consolidated metadata up front: the layout (shapes, dims, attrs)
+        # is fully known here, so live inspect() can open the store-backed
+        # trace mid-run (unwritten chunks read back as fill values);
+        # finalize() rewrites it with corrected shapes for aborted runs
+        self._writer.write_consolidated()
         self._initialized = True
 
     # ------------------------------------------------------------- writes
@@ -161,8 +177,7 @@ class ZarrTraceSink:
         ):
             warm_group, post_group = groups
             for name, values in chunk[source].items():
-                if values.dtype.kind == "O":
-                    continue
+                values = _storable(values)
                 if self._save_warmup and warm_n > 0:
                     self._push(warm_group, name, values[:, :warm_n],
                                self._num_tune)

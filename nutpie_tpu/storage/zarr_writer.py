@@ -43,6 +43,8 @@ def _fill_value(dtype: np.dtype):
         return "NaN"
     if dtype.kind == "b":
         return False
+    if dtype.kind == "U":
+        return ""
     return 0
 
 
@@ -183,9 +185,8 @@ class ZarrTraceWriter:
         if n_draws < chunk_draws:
             pad_shape = list(values.shape)
             pad_shape[1] = chunk_draws - n_draws
-            fill = (
-                np.nan if info["dtype"].kind == "f" else 0
-            )
+            kind = info["dtype"].kind
+            fill = np.nan if kind == "f" else ("" if kind == "U" else 0)
             values = np.concatenate(
                 [values, np.full(pad_shape, fill, info["dtype"])], axis=1
             )
@@ -217,9 +218,10 @@ class ZarrTraceWriter:
         n_chains = meta["shape"][0]
         item_shape = tuple(meta["shape"][2:])
         suffix = ".".join(["0"] * len(item_shape))
+        kind = info["dtype"].kind
         out = np.full(
             (n_chains, rows, *item_shape),
-            np.nan if info["dtype"].kind == "f" else 0,
+            np.nan if kind == "f" else ("" if kind == "U" else 0),
             info["dtype"],
         )
         for chain in range(n_chains):
@@ -235,14 +237,8 @@ class ZarrTraceWriter:
     def flush(self) -> None:
         self._t.flush()
 
-    def finalize(self, actual_draws: Optional[int] = None) -> None:
-        """Wait for writes, fix up shapes for aborted runs, consolidate."""
-        self.flush()
-        for key, info in self._arrays.items():
-            if actual_draws is not None and actual_draws != info["meta"]["shape"][1]:
-                info["meta"]["shape"][1] = actual_draws
-                self._write_json(key, ".zarray", info["meta"])
-        # consolidated metadata (.zmetadata) for fast open
+    def write_consolidated(self) -> None:
+        """Write/refresh the consolidated ``.zmetadata`` document."""
         self._write_json(
             "", ".zmetadata",
             {
@@ -253,6 +249,15 @@ class ZarrTraceWriter:
                 },
             },
         )
+
+    def finalize(self, actual_draws: Optional[int] = None) -> None:
+        """Wait for writes, fix up shapes for aborted runs, consolidate."""
+        self.flush()
+        for key, info in self._arrays.items():
+            if actual_draws is not None and actual_draws != info["meta"]["shape"][1]:
+                info["meta"]["shape"][1] = actual_draws
+                self._write_json(key, ".zarray", info["meta"])
+        self.write_consolidated()
 
     def close(self) -> None:
         self.flush()

@@ -67,6 +67,14 @@ class FlowConfig:
     # (heavy/light tail control; reference Contract bijections,
     # ``normalizing_flow.py:1218-1408``)
     tails: bool = False
+    # flow extension (reference extend_flow, normalizing_flow.py:2016-2238):
+    # this share of the trailing coupling layers is RETARGETED at the end of
+    # the diagonal phase -- their masks are reassigned so the coordinates
+    # with worst per-coordinate Fisher cost (the geometry the diagonal fit
+    # could not fix) land in the transformed slot.  The retarget happens
+    # while those layers are still exact identities (zero output weights),
+    # so the transform is unchanged at the switch point.  0 = off.
+    extension_share: float = 0.0
 
 
 class FlowParams(NamedTuple):
@@ -79,6 +87,11 @@ class FlowParams(NamedTuple):
     hh_v: jax.Array       # [n_householder, dim] reflection vectors
     tail_s: jax.Array     # [dim] sinh-asinh skew (0 = none)
     tail_log_t: jax.Array # [dim] sinh-asinh log tailweight (0 = identity)
+    # coupling masks (1 = conditioned-on half, 0 = transformed half); data,
+    # not trained -- train_flow zeros their gradient.  Kept in the params
+    # pytree so mask retargeting (extension) rides the existing accept /
+    # rebase machinery
+    masks: jax.Array      # [layers, dim]
 
 
 def _masks(num_layers: int, dim: int, dtype):
@@ -112,6 +125,7 @@ def init_flow_params(cfg: FlowConfig, dim: int, key, dtype) -> FlowParams:
         hh_v=hh_v,
         tail_s=jnp.zeros((dim,), dtype),
         tail_log_t=jnp.zeros((dim,), dtype),
+        masks=_masks(cfg.num_layers, dim, dtype),
     )
 
 
@@ -151,8 +165,7 @@ def _coupling_nets(cfg: FlowConfig, params: FlowParams, layer: int,
 
 def flow_forward(cfg: FlowConfig, params: FlowParams, z: jax.Array):
     """z (base) -> (x, logdet)."""
-    dim = params.mu.shape[0]
-    masks = _masks(cfg.num_layers, dim, z.dtype)
+    masks = jax.lax.stop_gradient(params.masks)
     y = z
     logdet = jnp.zeros((), z.dtype)
     for i in range(cfg.num_layers):
@@ -173,8 +186,7 @@ def flow_forward(cfg: FlowConfig, params: FlowParams, z: jax.Array):
 
 def flow_inverse(cfg: FlowConfig, params: FlowParams, x: jax.Array):
     """x (model space) -> z (base)."""
-    dim = params.mu.shape[0]
-    masks = _masks(cfg.num_layers, dim, x.dtype)
+    masks = jax.lax.stop_gradient(params.masks)
     y = (x - params.mu) * jnp.exp(-params.log_sigma)
     if cfg.tails:
         y = _tail_inverse(params, y)
@@ -320,6 +332,43 @@ def train_flow(cfg: FlowConfig, params: FlowParams, xs, gs, valid):
     return best_p, best_l, improved
 
 
+def retarget_extension_masks(fcfg: FlowConfig, flow: FlowParams, *,
+                             allowed, win_draws, win_grads, valid
+                             ) -> FlowParams:
+    """Point the trailing extension layers at the worst-cost coordinates.
+
+    Reference ``extend_flow`` inserts new layers permuted so the
+    worst-Fisher-cost coordinates land in the transformed slot
+    (``normalizing_flow.py:2016-2238``).  The TPU build pre-allocates those
+    layers (static shapes under jit) as exact identities (zero output
+    weights) and REASSIGNS their masks instead: per-coordinate cost
+    ``mean((z_j + score_j)^2)`` over the window, coordinates at or above
+    the median cost go to the transformed (mask 0) slot.  While the layers
+    are identities a mask change alters no transform values, so this is a
+    pure re-aim of upcoming training capacity; once a training step under
+    the new masks is accepted (nonzero output weights), the masks freeze.
+    """
+    n_ext = int(round(fcfg.extension_share * fcfg.num_layers))
+    if n_ext <= 0:
+        return flow
+    dim = win_draws.shape[1]
+    can = allowed & jnp.all(flow.w2[-n_ext:] == 0.0)
+    nz = jnp.maximum(jnp.sum(valid), 1).astype(win_draws.dtype)
+    cost = jnp.sum(
+        jnp.where(valid[:, None], jnp.square(win_draws + win_grads), 0.0),
+        axis=0,
+    ) / nz
+    row = jnp.where(cost >= jnp.median(cost), 0.0, 1.0).astype(
+        win_draws.dtype
+    )
+    new_masks = flow.masks.at[fcfg.num_layers - n_ext:].set(
+        jnp.broadcast_to(row, (n_ext, dim))
+    )
+    return flow._replace(
+        masks=jnp.where(can, new_masks, flow.masks)
+    )
+
+
 class FlowWindow(NamedTuple):
     """Per-chain flow-training window + parameters (shared by NUTS/MCLMC).
 
@@ -381,14 +430,26 @@ def chunk_flow_update(
     n_valid = jnp.sum(valid)
     due = in_warmup & (n_valid >= jnp.minimum(32, W))
 
+    # flow extension: once the diagonal phase ends, retarget the trailing
+    # extension layers' masks at the worst-Fisher-cost coordinates.  If the
+    # first training under the new masks is rejected, the layers stay
+    # identity and the retarget retries with the refreshed window next time.
+    cur_flow = win.flow
+    if int(round(fcfg.extension_share * fcfg.num_layers)) > 0:
+        cur_flow = retarget_extension_masks(
+            fcfg, cur_flow,
+            allowed=win.flow_updates >= fcfg.num_diag_updates,
+            win_draws=win_draws, win_grads=win_grads, valid=valid,
+        )
+
     # window (z, grad_z) -> model space (x, grad_x) through the current
     # flow: one vjp through the inverse transform per row
     def to_model_space(z, gz):
-        x, _ = flow_forward(fcfg, win.flow, z)
+        x, _ = flow_forward(fcfg, cur_flow, z)
 
         def inv_logdet(xx):
-            zz = flow_inverse(fcfg, win.flow, xx)
-            _, fld = flow_forward(fcfg, win.flow, zz)
+            zz = flow_inverse(fcfg, cur_flow, xx)
+            _, fld = flow_forward(fcfg, cur_flow, zz)
             return zz, -fld
 
         _, vjp = jax.vjp(inv_logdet, x)
@@ -400,8 +461,8 @@ def chunk_flow_update(
     gxs = jnp.where(valid[:, None], gxs, 0.0)
 
     diag_phase = win.flow_updates < fcfg.num_diag_updates
-    new_diag = refit_diag(win.flow, xs, gxs, valid)
-    trained, _, improved = train_flow(fcfg, win.flow, xs, gxs, valid)
+    new_diag = refit_diag(cur_flow, xs, gxs, valid)
+    trained, _, improved = train_flow(fcfg, cur_flow, xs, gxs, valid)
     candidate = _tw(diag_phase, new_diag, trained)
     accept = due & (diag_phase | improved)
     new_flow = _tw(accept, candidate, win.flow)

@@ -218,3 +218,89 @@ def test_train_on_orbit():
     assert abs(v.std() - 3.0) < 0.9, v.std()
     fd = np.asarray(trace.sample_stats["fisher_distance"].values)
     assert np.nanmean(fd[:, -100:]) < 2.0
+
+
+def test_extension_mask_retargeting_unit():
+    """retarget_extension_masks points the trailing layers' transformed
+    slot at the worst per-coordinate Fisher cost, only while those layers
+    are identities, and never changes the transform at the switch."""
+    import jax.numpy as jnp
+
+    from nutpie_tpu.transforms.flow import (
+        FlowConfig, flow_forward, init_flow_params, retarget_extension_masks,
+    )
+
+    cfg = FlowConfig(num_layers=4, hidden=8, extension_share=0.5)
+    dim = 6
+    params = init_flow_params(cfg, dim, jax.random.key(0), jnp.float64)
+    # coords 0,1,2 have large (z + score)^2; 3,4,5 near zero
+    W = 64
+    rng = np.random.default_rng(0)
+    zs = jnp.asarray(rng.standard_normal((W, dim)))
+    gz = -zs + jnp.asarray([5.0, 4.0, 6.0, 0.0, 0.0, 0.0])
+    valid = jnp.ones((W,), bool)
+
+    out = retarget_extension_masks(
+        cfg, params, allowed=jnp.asarray(True),
+        win_draws=zs, win_grads=gz, valid=valid,
+    )
+    # trailing 2 layers: worst coords (0,1,2) transformed (mask 0)
+    np.testing.assert_array_equal(
+        np.asarray(out.masks[-2:]), np.tile([0, 0, 0, 1, 1, 1], (2, 1))
+    )
+    # leading layers untouched
+    np.testing.assert_array_equal(
+        np.asarray(out.masks[:2]), np.asarray(params.masks[:2])
+    )
+    # transform values unchanged by the retarget (ext layers are identity)
+    z0 = jnp.asarray(rng.standard_normal(dim))
+    x_old, ld_old = flow_forward(cfg, params, z0)
+    x_new, ld_new = flow_forward(cfg, out, z0)
+    np.testing.assert_allclose(np.asarray(x_old), np.asarray(x_new), rtol=0)
+    assert float(ld_old) == float(ld_new)
+
+    # not allowed -> unchanged; trained ext layers (w2 != 0) -> frozen
+    same = retarget_extension_masks(
+        cfg, params, allowed=jnp.asarray(False),
+        win_draws=zs, win_grads=gz, valid=valid,
+    )
+    np.testing.assert_array_equal(np.asarray(same.masks),
+                                  np.asarray(params.masks))
+    trained = params._replace(w2=params.w2.at[-1].set(0.1))
+    frozen = retarget_extension_masks(
+        cfg, trained, allowed=jnp.asarray(True),
+        win_draws=zs, win_grads=gz, valid=valid,
+    )
+    np.testing.assert_array_equal(np.asarray(frozen.masks),
+                                  np.asarray(params.masks))
+
+
+@pytest.mark.slow
+def test_flow_hierarchical_funnel_gate():
+    """BASELINE config "hierarchical funnel via nf-adapt": flow adaptation
+    with extension layers samples the nested funnel (ESS > 1000 on tau, 0
+    posterior divergences); mirrors the reference's 100-d funnel gate
+    semantics (docs/nf-adapt.qmd:75-101) on the harder geometry."""
+    from nutpie_tpu.models import hierarchical_funnel
+
+    model = compile_model_def(
+        hierarchical_funnel(groups=6, dim=6, scale=1.0)
+    ).with_transform_adapt(
+        num_layers=6, hidden=32, train_steps=600, window=600,
+        learning_rate=1e-3, num_diag_updates=2, extension_share=0.34,
+    )
+    trace = nutpie_tpu.sample(
+        model, chains=2, draws=1000, tune=1200, seed=4, progress_bar=False,
+        adaptation="flow", transform_update_freq=150,
+    )
+    div = np.asarray(trace.sample_stats["diverging"].values)
+    assert div.sum() == 0, div.sum()
+    tau = np.asarray(trace.posterior["tau"].values)
+    v = np.asarray(trace.posterior["v"].values)
+    assert diagnostics.ess(tau) > 1000, diagnostics.ess(tau)
+    ess_v = min(diagnostics.ess(v[..., g]) for g in range(6))
+    assert ess_v > 1000, ess_v
+    # the two funnel levels are actually explored
+    assert tau.std() > 0.7, tau.std()
+    fd = np.asarray(trace.sample_stats["fisher_distance"].values)
+    assert np.nanmean(fd[:, -200:]) < 0.2

@@ -41,15 +41,29 @@ def test_zarr_streaming_roundtrip(tmp_path):
     meta = json.loads((root / ".zmetadata").read_text())
     assert "posterior/mu/.zarray" in meta["metadata"]
 
-    # compare on-disk draws to the in-memory trace
+    # the returned trace is store-backed (lazy); an independent in-memory
+    # run with the same seed must produce identical draws on disk
+    from nutpie_tpu.trace import LazyDataArray
+
+    assert isinstance(trace.posterior["mu"], LazyDataArray)
+    mem_trace = nutpie_tpu.sample(
+        model, chains=2, draws=120, tune=80, seed=7, progress_bar=False,
+        chunk_size=25,
+    )
     disk_mu = read_zarr_array(root, "posterior/mu")
     np.testing.assert_allclose(
-        disk_mu, np.asarray(trace.posterior["mu"].values)
+        disk_mu, np.asarray(mem_trace.posterior["mu"].values)
+    )
+    np.testing.assert_allclose(
+        np.asarray(trace.posterior["mu"].values), disk_mu
     )
     disk_theta = read_zarr_array(root, "posterior/theta")
     assert disk_theta.shape == (2, 120, 8)
     np.testing.assert_allclose(
-        disk_theta, np.asarray(trace.posterior["theta"].values)
+        disk_theta, np.asarray(mem_trace.posterior["theta"].values)
+    )
+    np.testing.assert_allclose(
+        np.asarray(trace.posterior["theta"].values), disk_theta
     )
     warm = read_zarr_array(root, "warmup_posterior/mu")
     assert warm.shape == (2, 80)
@@ -131,3 +145,79 @@ def test_resume_into_zarr(tmp_path):
     w_full = read_zarr_array(Path(store_full.path), "warmup_posterior/x")
     w_res = read_zarr_array(Path(store.path), "warmup_posterior/x")
     np.testing.assert_allclose(w_res, w_full, rtol=1e-6)
+
+
+def test_zarr_spec_conformance_and_string_payloads(tmp_path):
+    """Validate the written store with an INDEPENDENT zarr v2 decoder
+    (tests/zarr_spec.py, written from the spec, shares no code with the
+    writer), including string coords and the divergence_message column
+    (reference round-trip semantics: tests/test_pymc.py:555-605)."""
+    from nutpie_tpu import from_pyfunc
+    from zarr_spec import validate_store
+
+    import jax.numpy as jnp
+
+    school_names = np.array(
+        ["choate", "deerfield", "phillips", "hotchkiss"], dtype=object
+    )
+
+    def make_logp(**shared):
+        def logp(x):
+            return -0.5 * jnp.sum(x**2)
+        return logp
+
+    def make_expand(**shared):
+        def expand(x):
+            return {"theta": x}
+        return expand
+
+    model = from_pyfunc(
+        ndim=4,
+        make_logp_fn=make_logp,
+        make_expand_fn=make_expand,
+        expanded_dtypes=[np.float64],
+        expanded_shapes=[(4,)],
+        expanded_names=["theta"],
+        dims={"theta": ("school",)},
+        coords={"school": school_names},
+    )
+    store = LocalStore(str(tmp_path / "s.zarr"))
+    nutpie_tpu.sample(
+        model, chains=2, draws=60, tune=40, seed=5, progress_bar=False,
+        zarr_store=store, chunk_size=20, store_divergences=True,
+    )
+    arrays = validate_store(store.path)
+    # string coord persisted and decodable by the independent reader
+    assert "posterior/school" in arrays
+    assert list(arrays["posterior/school"]) == list(school_names)
+    # divergence_message column persisted as fixed-width unicode
+    assert "sample_stats/divergence_message" in arrays
+    msgs = arrays["sample_stats/divergence_message"]
+    assert msgs.dtype.kind == "U"
+    assert msgs.shape[:2] == (2, 60)
+
+    # store-backed trace exposes the string coord too
+    from nutpie_tpu.trace import open_zarr_trace
+
+    tr = open_zarr_trace(store)
+    assert list(tr.posterior["theta"].coords["school"]) == list(school_names)
+
+
+def test_zarr_store_backed_abort_partial(tmp_path):
+    # an aborted zarr run still returns a (store-backed) partial trace with
+    # the shapes shrunk to the draws actually produced
+    model = compile_model_def(std_normal(2))
+    store = LocalStore(str(tmp_path / "p.zarr"))
+    sampler = nutpie_tpu.sample(
+        model, chains=2, draws=100_000, tune=50, seed=9, progress_bar=False,
+        zarr_store=store, chunk_size=10, blocking=False,
+    )
+    import time as _time
+
+    while sampler._draws_done < 60:
+        _time.sleep(0.01)
+    trace = sampler.abort()
+    assert trace is not None
+    x = np.asarray(trace.posterior["x"].values)
+    assert 0 < x.shape[1] < 100_000
+    assert np.isfinite(x).all()

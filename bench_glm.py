@@ -7,11 +7,14 @@ Prints one JSON line like bench.py.
 """
 
 import json
+import os
 import time
 
 import numpy as np
 
-CHAINS = 8192
+# BASELINE config #5 says "10k+ chains"; default to 10240 on the real chip
+# (fits v5e HBM at ndim=64).  Override with NUTPIE_GLM_CHAINS for sweeps.
+CHAINS = int(os.environ.get("NUTPIE_GLM_CHAINS", "10240"))
 TUNE = 300
 DRAWS = 700
 CHUNK = 32

@@ -162,6 +162,17 @@ def render_template(template: str, progress: Sequence[ChainProgress]) -> str:
             "total_num_steps": p.total_num_steps,
             "step_size": f"{p.step_size:.3g}",
             "divergent_draws": p.divergent_draws,
+            # computed presentation fields (the mini-renderer has no
+            # conditionals; the reference's upon template colors rows by
+            # state, progress.rs:260-412)
+            "phase": (
+                "finished" if p.finished
+                else ("tuning" if p.tuning else "sampling")
+            ),
+            "row_class": (
+                "nutpie-div" if p.divergences > 0
+                else ("nutpie-done" if p.finished else "nutpie-ok")
+            ),
         }
 
     def sub(text: str, values: dict) -> str:
@@ -188,8 +199,53 @@ def render_template(template: str, progress: Sequence[ChainProgress]) -> str:
     return sub(out, global_vars)
 
 
+# Default styled HTML progress (reference ships a styled upon template +
+# CSS in-file, sample.py:217-356 / progress.rs:96-258; this mirrors its
+# content: global header with remaining time, per-chain rows colored by
+# state with progress bars, divergences, step size, gradient counts).
+DEFAULT_HTML_STYLE = """
+<style>
+.nutpie { font-family: system-ui, sans-serif; font-size: 13px; }
+.nutpie .hdr { margin-bottom: 6px; color: #333; }
+.nutpie .hdr b { font-size: 14px; }
+.nutpie table { border-collapse: collapse; }
+.nutpie th, .nutpie td { padding: 2px 10px; text-align: right; }
+.nutpie th { border-bottom: 1px solid #999; color: #333; }
+.nutpie progress { width: 140px; height: 10px; accent-color: #2c7fb8; }
+.nutpie tr.nutpie-div td { color: #b30000; }
+.nutpie tr.nutpie-done td { color: #1a7a1a; }
+</style>
+"""
+
+DEFAULT_HTML_TEMPLATE = """
+<div class="nutpie">
+<div class="hdr"><b>Sampling</b> &mdash; {{ finished_draws }}/{{ total_draws }} draws,
+{{ finished_chains }}/{{ total_chains }} chains finished,
+{{ divergences }} divergences, {{ total_num_steps }} gradient evaluations,
+~{{ time_remaining_estimate }} remaining</div>
+<table>
+<thead><tr><th>chain</th><th>progress</th><th>draws</th><th>phase</th>
+<th>divergences</th><th>step size</th><th>grad evals</th></tr></thead>
+<tbody>
+{% for chain in chains %}<tr class="{{ chain.row_class }}">
+<td>{{ chain.chain_index }}</td>
+<td><progress value="{{ chain.finished_draws }}" max="{{ chain.total_draws }}"></progress></td>
+<td>{{ chain.finished_draws }}/{{ chain.total_draws }}</td>
+<td>{{ chain.phase }}</td>
+<td>{{ chain.divergences }}</td>
+<td>{{ chain.step_size }}</td>
+<td>{{ chain.total_num_steps }}</td>
+</tr>
+{% endfor %}</tbody></table></div>
+"""
+
+
 class HTMLHandler(ProgressHandler):
-    """Jupyter display handler rendering an HTML table per update."""
+    """Jupyter display handler rendering styled HTML per update.
+
+    Without an explicit ``template`` the default styled template above is
+    used (reference parity: a styled table is the default, a custom upon
+    template is the override)."""
 
     def __init__(self, rate_ms: int = 100, template: Optional[str] = None,
                  style: Optional[str] = None):
@@ -198,8 +254,8 @@ class HTMLHandler(ProgressHandler):
 
         self._display = display
         self._handle = None
-        self._template = template
-        self._style = style or ""
+        self._template = template or DEFAULT_HTML_TEMPLATE
+        self._style = style if style is not None else DEFAULT_HTML_STYLE
 
     def _wrap(self, body: str):
         """Wrap the rendered HTML body for display.  Subclasses that do
@@ -302,8 +358,8 @@ class MarimoHandler(HTMLHandler):
 
         self._display = _display
         self._handle = None
-        self._template = template
-        self._style = style or ""
+        self._template = template or DEFAULT_HTML_TEMPLATE
+        self._style = style if style is not None else DEFAULT_HTML_STYLE
 
     def _wrap(self, body: str):
         return body

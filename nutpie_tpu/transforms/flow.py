@@ -358,12 +358,18 @@ def retarget_extension_masks(fcfg: FlowConfig, flow: FlowParams, *,
         jnp.where(valid[:, None], jnp.square(win_draws + win_grads), 0.0),
         axis=0,
     ) / nz
+    # worst-cost half in the transformed slot; consecutive extension layers
+    # alternate with the COMPLEMENT mask (identical masks in consecutive
+    # couplings compose into one effective coupling -- alternation keeps
+    # full coordinate coverage while the worst coordinates still get
+    # transformed first and most often)
     row = jnp.where(cost >= jnp.median(cost), 0.0, 1.0).astype(
         win_draws.dtype
     )
-    new_masks = flow.masks.at[fcfg.num_layers - n_ext:].set(
-        jnp.broadcast_to(row, (n_ext, dim))
-    )
+    ext_rows = jnp.stack([
+        row if j % 2 == 0 else 1.0 - row for j in range(n_ext)
+    ])
+    new_masks = flow.masks.at[fcfg.num_layers - n_ext:].set(ext_rows)
     return flow._replace(
         masks=jnp.where(can, new_masks, flow.masks)
     )

@@ -231,3 +231,27 @@ def test_flat_jitter_mask():
     assert m.tolist() == [0, 0, 1, 1, 1]
     m = _flat_jitter_mask(order, sizes, offsets, 5, None, enable=False)
     assert m.tolist() == [0, 0, 0, 0, 0]
+
+
+def test_default_html_template_renders():
+    """The default styled template (reference ships styled HTML by default,
+    sample.py:217-356) renders with no unexpanded placeholders, colors
+    divergent rows, and includes the remaining-time estimate."""
+    from nutpie_tpu.progress import (
+        ChainProgress, DEFAULT_HTML_STYLE, DEFAULT_HTML_TEMPLATE,
+        render_template,
+    )
+
+    ps = [
+        ChainProgress(i, 50 + i, 100, i, True, True, False, 7, 350,
+                      0.01 * (i + 1), 2000.0, [])
+        for i in range(3)
+    ]
+    html = render_template(DEFAULT_HTML_TEMPLATE, ps)
+    assert "{{" not in html and "{%" not in html
+    assert "nutpie-div" in html          # chain 1+ has divergences
+    assert "nutpie-ok" in html           # chain 0 has none
+    assert "tuning" in html
+    assert "remaining" in html
+    assert '<progress value="51" max="100">' in html
+    assert "<style>" in DEFAULT_HTML_STYLE

@@ -194,13 +194,30 @@ def test_flow_funnel_100d_reference_gate():
     assert div.sum() == 0, div.sum()
     v = np.asarray(trace.posterior["v"].values)
     x = np.asarray(trace.posterior["x"].values)
-    assert diagnostics.ess(v) > 1000
+    ess_v = float(diagnostics.ess(v))
+    assert ess_v > 1000
     ess_x = min(
-        diagnostics.ess(x[..., i]) for i in range(0, 100, 10)
+        float(diagnostics.ess(x[..., i])) for i in range(0, 100, 10)
     )
     assert ess_x > 1000, ess_x
     fd = np.asarray(trace.sample_stats["fisher_distance"].values)
-    assert np.nanmean(fd[:, -200:]) < 0.1
+    fd_mean = float(np.nanmean(fd[:, -200:]))
+    assert fd_mean < 0.1
+    # record the PASS MARGINS (VERDICT r2 weak #6: the gate passed but
+    # nothing showed by how much; margins guard against threshold-riding)
+    import json
+    from pathlib import Path
+
+    margins = {
+        "ess_v": round(ess_v, 1), "min_ess_x": round(ess_x, 1),
+        "fisher_distance_mean_tail": round(fd_mean, 4),
+        "divergences": int(div.sum()),
+        "thresholds": {"ess": 1000, "fisher": 0.1},
+    }
+    path = Path(__file__).parent / "reference" / "flow_gate_margins.json"
+    path.write_text(json.dumps(margins, indent=1))
+    # fisher margin should be comfortable, not threshold-riding
+    assert fd_mean < 0.08, f"gate margin thin: {margins}"
 
 
 def test_train_on_orbit():
@@ -244,9 +261,11 @@ def test_extension_mask_retargeting_unit():
         cfg, params, allowed=jnp.asarray(True),
         win_draws=zs, win_grads=gz, valid=valid,
     )
-    # trailing 2 layers: worst coords (0,1,2) transformed (mask 0)
+    # trailing 2 layers: worst coords (0,1,2) transformed (mask 0) first,
+    # complement mask on the next layer (alternating coverage)
     np.testing.assert_array_equal(
-        np.asarray(out.masks[-2:]), np.tile([0, 0, 0, 1, 1, 1], (2, 1))
+        np.asarray(out.masks[-2:]),
+        np.asarray([[0, 0, 0, 1, 1, 1], [1, 1, 1, 0, 0, 0]]),
     )
     # leading layers untouched
     np.testing.assert_array_equal(

@@ -34,7 +34,21 @@ class CompiledStanModel(CompiledModel):
     def __post_init__(self):
         object.__setattr__(self, "coords", dict(self._coords))
         object.__setattr__(self, "dims", dict(self._dims))
-        object.__setattr__(self, "_program", parse(self.code))
+        program = parse(self.code)
+        # static semantic checks that need no data: NUTS needs a
+        # real-valued unconstrained space, so tuple/complex parameters are
+        # rejected at compile time (they ARE supported in generated
+        # quantities / transformed data)
+        from .errors import StanCompileError
+
+        for decl in program.parameters:
+            if decl.type.base in ("tuple", "complex"):
+                raise StanCompileError(
+                    f"{decl.type.base!r} parameters are not supported "
+                    f"(use separate real parameters for the parts/slots)",
+                    decl.line, decl.col,
+                )
+        object.__setattr__(self, "_program", program)
 
     def with_data(self, *, seed=None, **data: Any) -> "CompiledStanModel":
         return dataclasses.replace(

@@ -18,6 +18,7 @@ class Node:
 class Num(Node):
     value: Any = None        # python int or float
     is_int: bool = False
+    is_imag: bool = False    # imaginary literal: 4.0i -> complex(0, 4.0)
 
 
 @dataclasses.dataclass
@@ -86,6 +87,21 @@ class ArrayLit(Node):
 
 
 @dataclasses.dataclass
+class TupleLit(Node):
+    """Tuple expression: (e1, e2, ...) with >= 2 elements."""
+
+    elements: list = dataclasses.field(default_factory=list)
+
+
+@dataclasses.dataclass
+class Member(Node):
+    """Member access: tuple slot ``x.1`` or complex part ``z.real``."""
+
+    base: Node = None
+    field: str = ""          # "1", "2", ... | "real" | "imag"
+
+
+@dataclasses.dataclass
 class RowVectorLit(Node):
     elements: list = dataclasses.field(default_factory=list)
 
@@ -98,6 +114,7 @@ class TypeSpec(Node):
     dims: list = dataclasses.field(default_factory=list)   # type dims (exprs)
     array_dims: list = dataclasses.field(default_factory=list)
     constraints: dict = dataclasses.field(default_factory=dict)  # lower/upper/offset/multiplier -> expr
+    tuple_slots: Optional[list] = None  # list[TypeSpec] when base == "tuple"
 
 
 # ----------------------------------------------------------------- statements

@@ -35,6 +35,67 @@ from .stanlib import (
 from .transforms import make_transform
 
 
+class StanComplex:
+    """Complex value as an explicit (re, im) pair.
+
+    TPUs have no complex arithmetic units; carrying the parts as two real
+    arrays keeps generated-quantities code traceable on every backend
+    (the reference gets complex support for free through BridgeStan's C++,
+    src/stan.rs:92-251; here the algebra is explicit).
+    """
+
+    __slots__ = ("re", "im")
+
+    def __init__(self, re, im):
+        self.re = re
+        self.im = im
+
+    def __repr__(self):
+        return f"StanComplex({self.re!r}, {self.im!r})"
+
+
+class StanTuple:
+    """Tuple value: a trace-time-static sequence of heterogeneous slots."""
+
+    __slots__ = ("slots",)
+
+    def __init__(self, slots):
+        self.slots = tuple(slots)
+
+    def __repr__(self):
+        return f"StanTuple{self.slots!r}"
+
+
+def _to_cplx(v) -> StanComplex:
+    if isinstance(v, StanComplex):
+        return v
+    if isinstance(v, complex):
+        return StanComplex(v.real, v.imag)
+    return StanComplex(v, jnp.zeros_like(jnp.asarray(v)))
+
+
+def _cplx_binop(op: str, left, right, node) -> StanComplex:
+    a, b = _to_cplx(left), _to_cplx(right)
+    if op == "+":
+        return StanComplex(a.re + b.re, a.im + b.im)
+    if op == "-":
+        return StanComplex(a.re - b.re, a.im - b.im)
+    if op in ("*", ".*"):
+        return StanComplex(
+            a.re * b.re - a.im * b.im, a.re * b.im + a.im * b.re
+        )
+    if op in ("/", "./"):
+        d = b.re * b.re + b.im * b.im
+        return StanComplex(
+            (a.re * b.re + a.im * b.im) / d,
+            (a.im * b.re - a.re * b.im) / d,
+        )
+    raise StanCompileError(
+        f"operator {op!r} is not supported for complex values",
+        node.line, node.col,
+    )
+
+
 class _BreakLoop(Exception):
     pass
 
@@ -209,7 +270,20 @@ class StanInterpreter:
                 raise StanRuntimeError(
                     f"Model data variable {name!r} was not provided"
                 )
+            if decl.type.base == "tuple":
+                raise StanCompileError(
+                    "tuple-typed data variables are not supported (pass "
+                    "the slots as separate data variables)",
+                    decl.line, decl.col,
+                )
             value = np.asarray(data[name])
+            if decl.type.base == "complex":
+                value = value.astype(np.complex128)
+                # np.array (not ascontiguousarray: it promotes 0-d to (1,))
+                env[name] = StanComplex(
+                    np.array(value.real), np.array(value.imag)
+                )
+                continue
             if decl.type.base == "int":
                 value = value.astype(np.int64)
             else:
@@ -238,6 +312,13 @@ class StanInterpreter:
         offset = 0
         for decl in program.parameters:
             base = decl.type.base
+            if base in ("tuple", "complex"):
+                raise StanCompileError(
+                    f"{base!r} parameters are not supported (NUTS needs a "
+                    f"real-valued unconstrained space; use separate real "
+                    f"parameters for the parts/slots)",
+                    decl.line, decl.col,
+                )
             type_dims = tuple(
                 _static_int(self.eval_expr(d, env, ctx), d, "dimension")
                 for d in decl.type.dims
@@ -323,6 +404,111 @@ class StanInterpreter:
             return array_dims + type_dims
         return array_dims + self._constrained_type_shape(base, type_dims)
 
+    # ------------------------------------------------- tuple/complex support
+
+    def _zero_complex(self, shape):
+        if not shape:
+            return StanComplex(jnp.zeros(()), jnp.zeros(()))
+        # arrays of complex flatten per element (mirrors the output naming)
+        return [self._zero_complex(shape[1:]) for _ in range(shape[0])]
+
+    def _default_tuple_value(self, spec: A.TypeSpec, env, ctx):
+        """Zero value for an (array-of-)tuple/complex declaration.
+
+        Plain slot types keep their array dims as array shape; tuple and
+        complex bases flatten their array dims into python lists (matching
+        the flattened output naming).
+        """
+        if spec.base not in ("tuple", "complex"):
+            decl = A.Decl(type=spec, name="_slot")
+            shape = self._decl_shape_dynamic(decl, env, ctx)
+            if spec.base == "int":
+                return np.zeros(shape, np.int64) if shape else 0
+            return jnp.zeros(shape)
+
+        array_dims = tuple(
+            _static_int(self.eval_expr(d, env, ctx), d, "array dimension")
+            for d in spec.array_dims
+        )
+
+        def build(dims):
+            if dims:
+                return [build(dims[1:]) for _ in range(dims[0])]
+            if spec.base == "complex":
+                return StanComplex(jnp.zeros(()), jnp.zeros(()))
+            return StanTuple(
+                self._default_tuple_value(s, env, ctx)
+                for s in spec.tuple_slots
+            )
+
+        return build(array_dims)
+
+    def _flatten_value(self, name: str, value, out: dict) -> None:
+        """Flatten tuple/complex values into scalar-or-array outputs using
+        the stanio/CmdStan naming scheme the reference's name parser
+        consumes (src/stan.rs:92-251): array element ``.i``, tuple slot
+        ``:j``, complex part ``.real``/``.imag``."""
+        if isinstance(value, StanTuple):
+            for j, v in enumerate(value.slots, 1):
+                self._flatten_value(f"{name}:{j}", v, out)
+        elif isinstance(value, list):
+            for i, v in enumerate(value, 1):
+                self._flatten_value(f"{name}.{i}", v, out)
+        elif isinstance(value, StanComplex):
+            out[f"{name}.real"] = jnp.asarray(value.re)
+            out[f"{name}.imag"] = jnp.asarray(value.im)
+        else:
+            out[name] = jnp.asarray(value)
+
+    def _flatten_decl_meta(self, name: str, spec: A.TypeSpec, env):
+        """(name, dtype, shape) rows for one declaration, flattening
+        tuples/arrays-of-tuples/complex exactly like ``_flatten_value``."""
+        import itertools
+
+        ctx = Ctx("logp")
+        rows: list[tuple] = []
+
+        def dims_of(exprs):
+            return tuple(
+                _static_int(self.eval_expr(d, env, ctx), d, "dimension")
+                for d in exprs
+            )
+
+        def walk(nm: str, s: A.TypeSpec):
+            array_dims = dims_of(s.array_dims)
+            if s.base in ("tuple", "complex"):
+                for combo in itertools.product(
+                    *(range(1, d + 1) for d in array_dims)
+                ):
+                    elem = nm + "".join(f".{i}" for i in combo)
+                    if s.base == "tuple":
+                        for j, slot in enumerate(s.tuple_slots, 1):
+                            walk(f"{elem}:{j}", slot)
+                    else:
+                        rows.append(
+                            (f"{elem}.real", np.dtype(np.float64), ())
+                        )
+                        rows.append(
+                            (f"{elem}.imag", np.dtype(np.float64), ())
+                        )
+                return
+            type_dims = dims_of(s.dims)
+            if s.base in ("int", "real"):
+                shape = array_dims
+            elif s.base == "row_vector":
+                shape = array_dims + (1,) + type_dims
+            elif s.base in ("vector", "matrix"):
+                shape = array_dims + type_dims
+            else:
+                shape = array_dims + self._constrained_type_shape(
+                    s.base, type_dims
+                )
+            dtype = np.int64 if s.base == "int" else np.float64
+            rows.append((nm, np.dtype(dtype), tuple(shape)))
+
+        walk(name, spec)
+        return rows
+
     # ---------------------------------------------------------- entry points
 
     def constrain(self, x, ctx: Ctx, env: dict) -> None:
@@ -354,7 +540,11 @@ class StanInterpreter:
             out[p["name"]] = jnp.asarray(env[p["name"]])
         for decl in self.tp_decls + self.gq_decls:
             if decl.name in env:
-                out[decl.name] = jnp.asarray(env[decl.name])
+                value = env[decl.name]
+                if isinstance(value, (StanTuple, StanComplex, list)):
+                    self._flatten_value(decl.name, value, out)
+                else:
+                    out[decl.name] = jnp.asarray(value)
         return out
 
     def output_variables(self) -> list[tuple[str, np.dtype, tuple, None]]:
@@ -367,6 +557,12 @@ class StanInterpreter:
             out.append((p["name"], np.dtype(np.float64), tuple(shape), None))
         env = dict(self.base_env)
         for decl in self.tp_decls + self.gq_decls:
+            if decl.type.base in ("tuple", "complex"):
+                for name, dtype, shape in self._flatten_decl_meta(
+                    decl.name, decl.type, env
+                ):
+                    out.append((name, dtype, shape, None))
+                continue
             shape = self._decl_shape(decl, env)
             dtype = np.int64 if decl.type.base == "int" else np.float64
             out.append((decl.name, np.dtype(dtype), tuple(shape), None))
@@ -403,7 +599,20 @@ class StanInterpreter:
                     value, "ndim", 0
                 ) == 1:
                     value = jnp.asarray(value).reshape(1, -1)
+                if stmt.type.base == "complex" and not isinstance(
+                    value, (StanComplex, list)
+                ):
+                    value = _to_cplx(value)
                 env[stmt.name] = value
+            elif stmt.type.base == "tuple":
+                env[stmt.name] = self._default_tuple_value(stmt.type, env, ctx)
+            elif stmt.type.base == "complex":
+                shape = tuple(
+                    _static_int(self.eval_expr(d, env, ctx), d,
+                                "array dimension")
+                    for d in stmt.type.array_dims
+                )
+                env[stmt.name] = self._zero_complex(shape)
             else:
                 shape = self._decl_shape_dynamic(stmt, env, ctx)
                 if stmt.type.base == "int":
@@ -747,6 +956,15 @@ class StanInterpreter:
     def _apply_binop(self, op: str, left, right, node):
         from .stanlib import _divide, _dot
 
+        if isinstance(left, StanComplex) or isinstance(right, StanComplex):
+            return _cplx_binop(op, left, right, node)
+        if isinstance(left, (StanTuple, list)) or isinstance(
+            right, (StanTuple, list)
+        ):
+            raise StanCompileError(
+                f"operator {op!r} is not defined for tuple values",
+                node.line, node.col,
+            )
         if op == "+":
             return jnp.asarray(left) + jnp.asarray(right) if not (
                 _is_concrete(left) and _is_concrete(right)
@@ -806,6 +1024,8 @@ class StanInterpreter:
 
     def eval_expr(self, node, env: dict, ctx: Ctx):
         if isinstance(node, A.Num):
+            if node.is_imag:
+                return StanComplex(0.0, node.value)
             return node.value
         if isinstance(node, A.StringLit):
             return node.value
@@ -828,6 +1048,8 @@ class StanInterpreter:
         if isinstance(node, A.UnaryOp):
             val = self.eval_expr(node.operand, env, ctx)
             if node.op == "-":
+                if isinstance(val, StanComplex):
+                    return StanComplex(-val.re, -val.im)
                 return -val if _is_concrete(val) else -jnp.asarray(val)
             if node.op == "+":
                 return val
@@ -845,8 +1067,46 @@ class StanInterpreter:
             from .stanlib import _transpose
 
             return _transpose(self.eval_expr(node.operand, env, ctx))
+        if isinstance(node, A.TupleLit):
+            return StanTuple(
+                self.eval_expr(e, env, ctx) for e in node.elements
+            )
+        if isinstance(node, A.Member):
+            base = self.eval_expr(node.base, env, ctx)
+            field = node.field
+            if isinstance(base, StanTuple):
+                try:
+                    slot = int(field)
+                except ValueError:
+                    raise StanCompileError(
+                        f"tuple member access needs a slot number, got "
+                        f".{field}", node.line, node.col,
+                    ) from None
+                if not 1 <= slot <= len(base.slots):
+                    raise StanCompileError(
+                        f"tuple slot {slot} out of range (1.."
+                        f"{len(base.slots)})", node.line, node.col,
+                    )
+                return base.slots[slot - 1]
+            if field in ("real", "imag"):
+                c = _to_cplx(base)
+                return c.re if field == "real" else c.im
+            raise StanCompileError(
+                f"member access .{field} is only defined for tuples "
+                f"(.1, .2, ...) and complex values (.real/.imag)",
+                node.line, node.col,
+            )
         if isinstance(node, A.Index):
             base = self.eval_expr(node.base, env, ctx)
+            if isinstance(base, (list, StanTuple)) or (
+                isinstance(base, np.ndarray) and base.dtype == object
+            ):
+                # array-of-tuples (nested python lists): concrete indexing
+                seq = base if isinstance(base, list) else list(base)
+                for ix in node.indices:
+                    val = self.eval_expr(ix, env, ctx)
+                    seq = seq[_static_int(val, node, "tuple array index") - 1]
+                return seq
             idx = tuple(self._indexers(node.indices, env, ctx))
             # a traced index (scan/vmap-compiled loop variable) forces the
             # jnp gather path even for concrete data arrays
@@ -858,6 +1118,12 @@ class StanInterpreter:
             return jnp.asarray(base)[idx]
         if isinstance(node, A.ArrayLit):
             vals = [self.eval_expr(e, env, ctx) for e in node.elements]
+            if any(
+                isinstance(v, (StanTuple, StanComplex, list)) for v in vals
+            ):
+                # arrays of tuples/complex stay python lists: structure is
+                # static at trace time, leaves are traced arrays
+                return vals
             if all(_is_concrete(v) for v in vals):
                 return np.stack([np.asarray(v) for v in vals])
             return jnp.stack([jnp.asarray(v) for v in vals])

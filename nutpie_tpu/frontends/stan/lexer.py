@@ -73,6 +73,23 @@ def tokenize(src: str) -> list[Token]:
             advance(end + 2 - i)
             continue
         tl, tc = line, col
+        # member-access dot: `pair.1`, `arr[2].3`, `z.real` -- a '.' right
+        # after a value-ending token that is NOT an elementwise operator
+        # (.* ./ .^) and NOT the start of a bare decimal like `.5` at the
+        # beginning of an expression
+        if (
+            c == "."
+            and tokens
+            and (
+                tokens[-1].kind in ("IDENT", "KEYWORD")
+                or (tokens[-1].kind == "PUNCT" and tokens[-1].value in (")", "]"))
+            )
+            and i + 1 < n
+            and (src[i + 1].isdigit() or src[i + 1].isalpha() or src[i + 1] == "_")
+        ):
+            tokens.append(Token("OP", ".", tl, tc))
+            advance(1)
+            continue
         # string literal
         if c == '"':
             j = src.find('"', i + 1)
@@ -107,6 +124,16 @@ def tokenize(src: str) -> list[Token]:
                     j = k
                     while j < n and src[j].isdigit():
                         j += 1
+            # imaginary literal: number immediately suffixed with `i`
+            # (4.0i, 2i) that is not the start of a longer identifier
+            if (
+                j < n
+                and src[j] == "i"
+                and (j + 1 >= n or not (src[j + 1].isalnum() or src[j + 1] == "_"))
+            ):
+                tokens.append(Token("IMAG", src[i:j], tl, tc))
+                advance(j + 1 - i)
+                continue
             tokens.append(
                 Token("REAL" if is_real else "INT", src[i:j], tl, tc)
             )

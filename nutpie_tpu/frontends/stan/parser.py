@@ -10,14 +10,14 @@ _TYPE_BASES = {
     "int", "real", "vector", "row_vector", "matrix", "simplex",
     "unit_vector", "ordered", "positive_ordered", "cholesky_factor_corr",
     "cholesky_factor_cov", "corr_matrix", "cov_matrix", "sum_to_zero_vector",
+    "complex", "tuple",
 }
 
 # recognized Stan types this compiler does not implement; reported with a
 # precise compile-time error instead of a confusing parse failure (the
 # reference consumes them through BridgeStan, src/stan.rs:92-251)
 _UNSUPPORTED_TYPE_BASES = {
-    "complex", "complex_vector", "complex_row_vector", "complex_matrix",
-    "tuple",
+    "complex_vector", "complex_row_vector", "complex_matrix",
 }
 
 _ASSIGN_OPS = {"=", "+=", "-=", "*=", "/=", ".*=", "./="}
@@ -131,7 +131,7 @@ class Parser:
         self.expect("PUNCT", "{")
         decls = []
         while not self.at("PUNCT", "}"):
-            decls.append(self.parse_declaration())
+            decls.extend(self.parse_declaration())
         self.expect("PUNCT", "}")
         return decls
 
@@ -139,7 +139,11 @@ class Parser:
         self.expect("PUNCT", "{")
         stmts = []
         while not self.at("PUNCT", "}"):
-            stmts.append(self.parse_statement())
+            stmt = self.parse_statement()
+            if isinstance(stmt, list):
+                stmts.extend(stmt)
+            else:
+                stmts.append(stmt)
         self.expect("PUNCT", "}")
         return stmts
 
@@ -149,10 +153,11 @@ class Parser:
         if self.at("KEYWORD", "array"):
             return True
         tok = self.peek()
-        if tok.value in _UNSUPPORTED_TYPE_BASES and (
-            tok.value != "tuple" or self.peek(1).value == "("
-        ):
+        if tok.value in _UNSUPPORTED_TYPE_BASES:
             return True
+        if tok.value == "tuple":
+            # `tuple(` starts a type; anything else is an identifier use
+            return self.peek(1).value == "("
         return tok.kind == "KEYWORD" and tok.value in _TYPE_BASES
 
     def parse_type(self, allow_constraints: bool = True,
@@ -189,6 +194,24 @@ class Parser:
             )
         spec.base = base_tok.value
         self.next()
+        # tuple(T1, T2, ...): recursive slot types (each may be an
+        # array[...]-prefixed type itself)
+        if spec.base == "tuple":
+            self.expect("PUNCT", "(")
+            spec.tuple_slots = []
+            while True:
+                spec.tuple_slots.append(
+                    self.parse_type(
+                        allow_constraints=allow_constraints,
+                        in_signature=in_signature,
+                    )
+                )
+                if self.at("PUNCT", ","):
+                    self.next()
+                    continue
+                break
+            self.expect("PUNCT", ")")
+            return spec
         # constraints <lower=..., upper=...>
         if allow_constraints and self.at("OP", "<"):
             self.next()
@@ -242,8 +265,22 @@ class Parser:
         if self.at("OP", "="):
             self.next()
             init = self.parse_expr()
+        decls = [
+            A.Decl(type=spec, name=name, init=init, line=tok.line, col=tok.col)
+        ]
+        # multi-declaration: real a = 1, b = 2;
+        while self.at("PUNCT", ","):
+            self.next()
+            nm = self.expect("IDENT").value
+            ini = None
+            if self.at("OP", "="):
+                self.next()
+                ini = self.parse_expr()
+            decls.append(
+                A.Decl(type=spec, name=nm, init=ini, line=tok.line, col=tok.col)
+            )
         self.expect("PUNCT", ";")
-        return A.Decl(type=spec, name=name, init=init, line=tok.line, col=tok.col)
+        return decls
 
     # ------------------------------------------------------------- statements
 
@@ -344,7 +381,8 @@ class Parser:
     def parse_body(self) -> list:
         if self.at("PUNCT", "{"):
             return self.parse_stmt_block()
-        return [self.parse_statement()]
+        stmt = self.parse_statement()
+        return stmt if isinstance(stmt, list) else [stmt]
 
     def parse_for(self) -> A.For:
         tok = self.expect("KEYWORD", "for")
@@ -465,6 +503,19 @@ class Parser:
             elif self.at("OP", "'"):
                 tok = self.next()
                 expr = A.Transpose(operand=expr, line=tok.line, col=tok.col)
+            elif self.at("OP", "."):
+                tok = self.next()
+                field = self.peek()
+                if field.kind not in ("INT", "IDENT", "KEYWORD"):
+                    raise StanCompileError(
+                        "expected a tuple slot number or 'real'/'imag' "
+                        f"after '.', found {field.value!r}",
+                        field.line, field.col,
+                    )
+                self.next()
+                expr = A.Member(
+                    base=expr, field=field.value, line=tok.line, col=tok.col
+                )
             else:
                 break
         return expr
@@ -499,9 +550,25 @@ class Parser:
         if tok.kind == "STRING":
             self.next()
             return A.StringLit(value=tok.value, line=tok.line, col=tok.col)
+        if tok.kind == "IMAG":
+            self.next()
+            return A.Num(
+                value=float(tok.value), is_int=False, is_imag=True,
+                line=tok.line, col=tok.col,
+            )
         if self.at("PUNCT", "("):
             self.next()
             expr = self.parse_expr()
+            if self.at("PUNCT", ","):
+                # tuple literal: (e1, e2, ...)
+                elements = [expr]
+                while self.at("PUNCT", ","):
+                    self.next()
+                    elements.append(self.parse_expr())
+                self.expect("PUNCT", ")")
+                return A.TupleLit(
+                    elements=elements, line=tok.line, col=tok.col
+                )
             self.expect("PUNCT", ")")
             return expr
         if self.at("PUNCT", "{"):

@@ -10,6 +10,7 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax.scipy import special as jsp
 
 from .errors import StanCompileError
@@ -928,6 +929,13 @@ FUNCTIONS = {
     "to_array_1d": _to_vector,
     "to_matrix": _to_matrix,
     "linspaced_vector": lambda n, a, b: jnp.linspace(a, b, int(n)),
+    # to_int truncates toward zero (Stan requires the value to fit; we
+    # match numpy/XLA truncation semantics)
+    "to_int": lambda x: (
+        np.asarray(x).astype(np.int64)
+        if isinstance(x, (int, float, np.generic, np.ndarray))
+        else jnp.asarray(x).astype(jnp.int64)
+    ),
     "ones_vector": lambda n: jnp.ones(int(n)),
     "zeros_vector": lambda n: jnp.zeros(int(n)),
     "ones_row_vector": lambda n: jnp.ones((1, int(n))),

@@ -512,15 +512,17 @@ def test_ordered_logistic_model():
 
 
 def test_unsupported_types_precise_errors():
-    # complex/tuple types (reference: BridgeStan parses them,
-    # src/stan.rs:92-251) produce precise compile-time errors, not parse
-    # failures or silent mis-typing
+    # still-unsupported types (complex containers, tuple/complex in places
+    # NUTS cannot consume) produce precise compile-time errors, not parse
+    # failures or silent mis-typing (reference: BridgeStan parses them,
+    # src/stan.rs:92-251)
     from nutpie_tpu.frontends.stan.errors import StanCompileError
 
     for snippet in (
-        "generated quantities { complex z; }",
-        "generated quantities { tuple(real, int) pair = (1.5, 2); }",
+        "generated quantities { complex_vector[3] z; }",
         "parameters { real x; complex w; } model { x ~ normal(0,1); }",
+        "parameters { real x; tuple(real, real) t; } "
+        "model { x ~ normal(0,1); }",
     ):
         code = "parameters { real q; } model { q ~ normal(0, 1); } "
         if "parameters" in snippet.split("{")[0]:
@@ -529,6 +531,159 @@ def test_unsupported_types_precise_errors():
             code = code + snippet
         with pytest.raises(StanCompileError, match="not supported"):
             nutpie_tpu.compile_stan_model(code=code)
+
+
+def test_stan_memory_order():
+    """Array-of-matrix GQ outputs keep Stan's index order when flattened
+    into the (chain, draw, *shape) trace (reference
+    tests/test_stan.py:209-249)."""
+    model = """
+    data { real x; }
+    parameters { real a; }
+    model { a ~ normal(0, 1); }
+    generated quantities {
+        array[2, 3] matrix[5, 7] b;
+        real count = 0;
+        for (i in 1:2)
+            for (j in 1:3) {
+                for (k in 1:5) {
+                    for (n in 1:7) {
+                        b[i, j][k, n] = count;
+                        count = count + 1;
+                    }
+                }
+            }
+        }
+    """
+    compiled = nutpie_tpu.compile_stan_model(code=model)
+    with pytest.raises(Exception, match="data"):
+        nutpie_tpu.sample(compiled, chains=1, draws=10, tune=10,
+                          progress_bar=False)
+    tr = nutpie_tpu.sample(
+        compiled.with_data(x=np.array(3.0)), chains=2, draws=50, tune=50,
+        seed=0, progress_bar=False,
+    )
+    b = np.asarray(tr.posterior["b"].values)
+    assert b.shape == (2, 50, 2, 3, 5, 7)
+    flat = b[0, 0].reshape(-1)
+    np.testing.assert_allclose(flat, np.arange(2 * 3 * 5 * 7, dtype=float))
+
+
+def test_complex_data():
+    """Complex data variables bind from numpy complex values and are usable
+    in generated quantities (reference tests/test_stan.py:189-206)."""
+    model = """
+    data { complex x; }
+    parameters { real a; }
+    model { a ~ normal(0, 1); }
+    generated quantities {
+        real xi = x.imag;
+        complex y = x * 2.0 + 1.0i;
+    }
+    """
+    compiled = nutpie_tpu.compile_stan_model(code=model)
+    with pytest.raises(Exception, match="data"):
+        nutpie_tpu.sample(compiled, chains=1, draws=10, tune=10,
+                          progress_bar=False)
+    tr = nutpie_tpu.sample(
+        compiled.with_data(x=np.array(3.0j)), chains=1, draws=10, tune=10,
+        seed=0, progress_bar=False,
+    )
+    assert np.allclose(tr.posterior["xi"], 3.0)
+    assert np.allclose(tr.posterior["y.real"], 0.0)
+    assert np.allclose(tr.posterior["y.imag"], 7.0)
+
+
+def test_nested_tuples_complex_gq():
+    """The reference's tuple/complex torture model (tests/test_stan.py:
+    test_nested, adapted from stanio): nested tuples, arrays of tuples,
+    complex scalars, and the stanio flattened naming scheme
+    (``name.arrayidx:slot`` + ``.real``/``.imag``; reference name parser
+    src/stan.rs:92-251)."""
+    model = """
+    parameters {
+    real a;
+    }
+    model {
+    a ~ normal(0, 1);
+    }
+    generated quantities {
+    real base = normal_rng(0, 1);
+    int base_i = to_int(normal_rng(10, 10));
+
+    tuple(real, real) pair = (base, base * 2);
+
+    tuple(real, tuple(int, complex)) nested = (base * 3, (base_i, base * 4.0i));
+    array[2] tuple(real, real) arr_pair = {pair, (base * 5, base * 6)};
+
+    array[3] tuple(tuple(real, tuple(int, complex)), real) arr_very_nested
+        = {(nested, base*7), ((base*8, (base_i*2, base*9.0i)), base * 10), (nested, base*11)};
+
+    array[3,2] tuple(real, real) arr_2d_pair = {{(base * 12, base * 13), (base * 14, base * 15)},
+                                                {(base * 16, base * 17), (base * 18, base * 19)},
+                                                {(base * 20, base * 21), (base * 22, base * 23)}};
+
+    real basep1 = base + 1, basep2 = base + 2;
+    real basep3 = base + 3, basep4 = base + 4, basep5 = base + 5;
+    array[2,3] tuple(array[2] tuple(real, vector[2]), matrix[4,5]) ultimate =
+        {
+        {(
+            {(base, [base *2, base *3]'), (base *4, [base*5, base*6]')},
+            to_matrix(linspaced_vector(20, 7, 11), 4, 5) * base
+            ),
+        (
+            {(basep1, [basep1 *2, basep1 *3]'), (basep1 *4, [basep1*5, basep1*6]')},
+            to_matrix(linspaced_vector(20, 7, 11), 4, 5) * basep1
+            ),
+            (
+            {(basep2, [basep2 *2, basep2 *3]'), (basep2 *4, [basep2*5, basep2*6]')},
+            to_matrix(linspaced_vector(20, 7, 11), 4, 5) * basep2
+        )
+        },
+        {(
+            {(basep3, [basep3 *2, basep3 *3]'), (basep3 *4, [basep3*5, basep3*6]')},
+            to_matrix(linspaced_vector(20, 7, 11), 4, 5) * basep3
+            ),
+        (
+            {(basep4, [basep4 *2, basep4 *3]'), (basep4 *4, [basep4*5, basep4*6]')},
+            to_matrix(linspaced_vector(20, 7, 11), 4, 5) * basep4
+            ),
+            (
+            {(basep5, [basep5 *2, basep5 *3]'), (basep5 *4, [basep5*5, basep5*6]')},
+            to_matrix(linspaced_vector(20, 7, 11), 4, 5) * basep5
+        )
+        }};
+    }
+    """
+    compiled = nutpie_tpu.compile_stan_model(code=model)
+    tr = nutpie_tpu.sample(
+        compiled, chains=6, draws=100, tune=100, seed=0, progress_bar=False
+    )
+    base = np.asarray(tr.posterior["base"].values)
+
+    assert np.allclose(tr.posterior["nested:2:2.imag"], 4 * base)
+    assert np.allclose(tr.posterior["nested:2:2.real"], 0.0)
+
+    assert np.allclose(tr.posterior["ultimate.1.1:1.1:1"], base)
+    assert np.allclose(tr.posterior["ultimate.1.2:1.1:1"], base + 1)
+    assert np.allclose(tr.posterior["ultimate.1.3:1.1:1"], base + 2)
+    assert np.allclose(tr.posterior["ultimate.2.1:1.1:1"], base + 3)
+    assert np.allclose(tr.posterior["ultimate.2.2:1.1:1"], base + 4)
+    assert np.allclose(tr.posterior["ultimate.2.3:1.1:1"], base + 5)
+
+    assert tr.posterior["ultimate.2.1:1.1:2"].shape == (6, 100, 2)
+    assert np.allclose(
+        np.asarray(tr.posterior["ultimate.2.3:1.1:2"].values)[:, :, 0],
+        2 * (base + 5),
+    )
+    assert np.allclose(
+        np.asarray(tr.posterior["ultimate.2.3:1.1:2"].values)[:, :, 1],
+        3 * (base + 5),
+    )
+    base_i = np.asarray(tr.posterior["base_i"].values)
+    assert np.allclose(base_i, base_i.astype(int))
+    assert np.allclose(tr.posterior["arr_2d_pair.3.2:1"], 22 * base)
+    assert np.allclose(tr.posterior["arr_very_nested.2:1:2:2.imag"], 9 * base)
 
 
 def test_ordered_logistic_rng_vector_eta():

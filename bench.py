@@ -201,6 +201,14 @@ def run_scaling() -> None:
     """
     import os
 
+    if os.environ.get("NUTPIE_SCALING_PLATFORM"):
+        # virtual-CPU harness proof (the axon sitecustomize already imported
+        # jax, so the env var alone is not enough -- update the live config)
+        import jax as _jax
+
+        _jax.config.update(
+            "jax_platforms", os.environ["NUTPIE_SCALING_PLATFORM"]
+        )
     if os.environ.get("NUTPIE_COORD"):
         from nutpie_tpu.parallel.mesh import initialize_distributed
 
@@ -225,8 +233,12 @@ def run_scaling() -> None:
     ctx.__enter__()
 
     n_dev = len(jax.devices())
-    chains = 256 * n_dev
-    tune, draws, chunk = 300, 1000, 32
+    # env knobs let the 2-process virtual-CPU harness proof run in minutes;
+    # real-hardware runs use the defaults
+    chains = int(os.environ.get("NUTPIE_SCALING_CHAINS", "256")) * n_dev
+    tune = int(os.environ.get("NUTPIE_SCALING_TUNE", "300"))
+    draws = int(os.environ.get("NUTPIE_SCALING_DRAWS", "1000"))
+    chunk = 32
     model = radon()
     dtype = jnp.float32
     cfg = NutsConfig(adapt=AdaptConfig(num_tune=tune))
@@ -239,12 +251,41 @@ def run_scaling() -> None:
                                       adapt_frozen=True)
     cols = jnp.asarray([0, 85, 86, 171, 172], jnp.int32)
 
-    def run(seed):
-        states, ok = init_chains(
-            model, cfg, seed, chains, np.zeros(model.ndim), dtype,
-            init_fn=init_fn,
+    multiproc = jax.process_count() > 1
+    if multiproc:
+        # every process holds identical replicated inputs; jit with
+        # out_shardings computes each process's shard of the global state
+        # (device_put cannot address other hosts' devices)
+        from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+        mesh = Mesh(np.array(jax.devices()), ("chains",))
+        sharding = NamedSharding(mesh, P("chains"))
+
+    def make_states(seed):
+        if not multiproc:
+            states, ok = init_chains(
+                model, cfg, seed, chains, np.zeros(model.ndim), dtype,
+                init_fn=init_fn,
+            )
+            return shard_chains(states)
+        master = jax.random.key(seed)
+        chain_keys = jax.vmap(lambda i: jax.random.fold_in(master, i))(
+            jnp.arange(chains)
         )
-        states = shard_chains(states)
+        mean = jnp.zeros(model.ndim, dtype)
+        out_shape = jax.eval_shape(init_fn, chain_keys, mean)
+        init_sharded = jax.jit(
+            init_fn,
+            out_shardings=(
+                jax.tree_util.tree_map(lambda _: sharding, out_shape[0]),
+                sharding,
+            ),
+        )
+        states, _ok = init_sharded(chain_keys, mean)
+        return states
+
+    def run(seed):
+        states = make_states(seed)
         post = []
         depth_cap = None
         start = 0
@@ -261,6 +302,21 @@ def run_scaling() -> None:
                 post.append(bufs.position[:, keep:limit, cols])
             start += limit
         posterior = jnp.concatenate(post, axis=1)
+        if multiproc:
+            # XLA:CPU's fft thunk rejects the transposed layouts the SPMD
+            # partitioner picks here; the posterior is small (few columns)
+            # at run end, so gather and use the host diagnostics instead
+            from jax.experimental import multihost_utils
+
+            from nutpie_tpu import diagnostics
+
+            post_np = np.asarray(
+                multihost_utils.process_allgather(posterior, tiled=True)
+            )
+            return float(min(
+                diagnostics.ess(post_np[:, :, j])
+                for j in range(post_np.shape[2])
+            ))
         return float(min_ess_over_columns(
             posterior, jnp.arange(cols.shape[0], dtype=jnp.int32)
         ))
@@ -283,11 +339,13 @@ def run_scaling() -> None:
             "ess_per_s_per_device": round(ess_per_s / n_dev, 2),
         },
     }
+    platform = jax.devices()[0].platform
+    if platform == "cpu":
+        result["detail"]["virtual"] = (
+            "virtual CPU devices share silicon; efficiency not meaningful"
+        )
     base_path = __file__.replace("bench.py", "BENCH_scaling_1dev.json")
-    if n_dev == 1:
-        with open(base_path, "w") as f:
-            json.dump(result, f)
-    else:
+    if n_dev > 1:
         try:
             with open(base_path) as f:
                 base = json.load(f)["value"]
@@ -296,6 +354,13 @@ def run_scaling() -> None:
             )
         except Exception:
             pass
+    if jax.process_index() == 0:
+        tag = f"{n_dev}dev" if platform != "cpu" else (
+            f"{jax.process_count()}proc_virtual"
+        )
+        out = __file__.replace("bench.py", f"BENCH_scaling_{tag}.json")
+        with open(out, "w") as f:
+            json.dump(result, f)
     print(json.dumps(result))
 
 

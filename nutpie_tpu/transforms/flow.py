@@ -75,12 +75,53 @@ class FlowConfig:
     # while those layers are still exact identities (zero output weights),
     # so the transform is unchanged at the switch point.  0 = off.
     extension_share: float = 0.0
+    # DCT sandwich (reference dct_layer, normalizing_flow.py:1844-1852):
+    # every other non-extension coupling acts in orthonormal-DCT frequency
+    # space (rotate, couple, rotate back), so its mask splits low vs high
+    # frequencies instead of even vs odd coordinates -- captures global
+    # correlation structure (e.g. random-walk / AR priors) that coordinate
+    # masks cannot.  The rotation is a [dim, dim] matmul (MXU-friendly) and
+    # orthogonal, so it contributes no logdet.
+    dct: bool = False
+    # low-rank factored conditioner (reference FactoredMLP,
+    # normalizing_flow.py:125-250): the first conditioner layer
+    # [dim, hidden] is factored as [dim, r] @ [r, hidden].  For large dim
+    # this cuts per-chain parameter memory and training FLOPs from
+    # O(dim*hidden) to O((dim+hidden)*r) per layer.  0 = dense.
+    factor_rank: int = 0
+
+
+def _n_extension(cfg: "FlowConfig") -> int:
+    return int(round(cfg.extension_share * cfg.num_layers))
+
+
+def _layer_uses_dct(cfg: "FlowConfig", i: int) -> bool:
+    """DCT sandwiches go on odd-indexed non-extension couplings (the
+    even-indexed ones keep coordinate masks, mirroring the reference's
+    alternation); extension layers stay in coordinate space because their
+    masks are retargeted from per-COORDINATE Fisher costs."""
+    return cfg.dct and i % 2 == 1 and i < cfg.num_layers - _n_extension(cfg)
+
+
+def _dct_matrix(dim: int, dtype):
+    """Orthonormal DCT-II matrix as a compile-time constant (host numpy),
+    so XLA embeds it instead of re-deriving it per call."""
+    import numpy as np
+
+    n = np.arange(dim)
+    mat = np.sqrt(2.0 / dim) * np.cos(
+        np.pi * np.outer(n, n + 0.5) / dim
+    )
+    mat[0] *= np.sqrt(0.5)
+    return jnp.asarray(mat, dtype)
 
 
 class FlowParams(NamedTuple):
     mu: jax.Array         # [dim]
     log_sigma: jax.Array  # [dim]
-    w1: jax.Array         # [layers, dim, hidden]
+    w1: jax.Array         # [layers, dim, hidden] (empty when factored)
+    w1u: jax.Array        # [layers, dim, rank]   (empty when dense)
+    w1v: jax.Array        # [layers, rank, hidden]
     b1: jax.Array         # [layers, hidden]
     w2: jax.Array         # [layers, hidden, 2*dim]
     b2: jax.Array         # [layers, 2*dim]
@@ -104,9 +145,20 @@ def _masks(num_layers: int, dim: int, dtype):
 
 def init_flow_params(cfg: FlowConfig, dim: int, key, dtype) -> FlowParams:
     k1 = jax.random.fold_in(key, 0)
-    w1 = 0.01 * jax.random.normal(
-        k1, (cfg.num_layers, dim, cfg.hidden), dtype
-    )
+    r = max(cfg.factor_rank, 0)
+    if r > 0:
+        # factored conditioner: w1 is empty, capacity lives in w1u @ w1v
+        w1 = jnp.zeros((cfg.num_layers, 0, cfg.hidden), dtype)
+        w1u = 0.01 * jax.random.normal(k1, (cfg.num_layers, dim, r), dtype)
+        w1v = jax.random.normal(
+            jax.random.fold_in(key, 2), (cfg.num_layers, r, cfg.hidden), dtype
+        ) / jnp.sqrt(jnp.asarray(float(r), dtype))
+    else:
+        w1 = 0.01 * jax.random.normal(
+            k1, (cfg.num_layers, dim, cfg.hidden), dtype
+        )
+        w1u = jnp.zeros((cfg.num_layers, dim, 0), dtype)
+        w1v = jnp.zeros((cfg.num_layers, 0, cfg.hidden), dtype)
     n_hh = max(cfg.householder, 0) * cfg.num_layers if cfg.householder else 0
     k2 = jax.random.fold_in(key, 1)
     hh_v = jnp.zeros((n_hh, dim), dtype)
@@ -118,6 +170,8 @@ def init_flow_params(cfg: FlowConfig, dim: int, key, dtype) -> FlowParams:
         mu=jnp.zeros((dim,), dtype),
         log_sigma=jnp.zeros((dim,), dtype),
         w1=w1,
+        w1u=w1u,
+        w1v=w1v,
         b1=jnp.zeros((cfg.num_layers, cfg.hidden), dtype),
         # zero output layer -> the couplings start as exact identities
         w2=jnp.zeros((cfg.num_layers, cfg.hidden, 2 * dim), dtype),
@@ -155,7 +209,11 @@ def _tail_inverse(params: FlowParams, x: jax.Array) -> jax.Array:
 
 def _coupling_nets(cfg: FlowConfig, params: FlowParams, layer: int,
                    masked: jax.Array):
-    h = jnp.tanh(masked @ params.w1[layer] + params.b1[layer])
+    if cfg.factor_rank > 0:
+        pre = (masked @ params.w1u[layer]) @ params.w1v[layer]
+    else:
+        pre = masked @ params.w1[layer]
+    h = jnp.tanh(pre + params.b1[layer])
     out = h @ params.w2[layer] + params.b2[layer]
     dim = params.mu.shape[0]
     shift = out[..., :dim]
@@ -166,14 +224,20 @@ def _coupling_nets(cfg: FlowConfig, params: FlowParams, layer: int,
 def flow_forward(cfg: FlowConfig, params: FlowParams, z: jax.Array):
     """z (base) -> (x, logdet)."""
     masks = jax.lax.stop_gradient(params.masks)
+    dct_mat = _dct_matrix(z.shape[-1], z.dtype) if cfg.dct else None
     y = z
     logdet = jnp.zeros((), z.dtype)
     for i in range(cfg.num_layers):
         m = masks[i]
+        sandwich = _layer_uses_dct(cfg, i)
+        if sandwich:  # couple in frequency space (orthogonal: logdet 0)
+            y = dct_mat @ y
         shift, log_scale = _coupling_nets(cfg, params, i, y * m)
         free = 1.0 - m
         y = m * y + free * (y * jnp.exp(log_scale) + shift)
         logdet = logdet + jnp.sum(free * log_scale)
+        if sandwich:
+            y = dct_mat.T @ y
         for h in range(cfg.householder):
             y = _householder(params.hh_v[i * cfg.householder + h], y)
     if cfg.tails:
@@ -187,16 +251,22 @@ def flow_forward(cfg: FlowConfig, params: FlowParams, z: jax.Array):
 def flow_inverse(cfg: FlowConfig, params: FlowParams, x: jax.Array):
     """x (model space) -> z (base)."""
     masks = jax.lax.stop_gradient(params.masks)
+    dct_mat = _dct_matrix(x.shape[-1], x.dtype) if cfg.dct else None
     y = (x - params.mu) * jnp.exp(-params.log_sigma)
     if cfg.tails:
         y = _tail_inverse(params, y)
     for i in reversed(range(cfg.num_layers)):
         for h in reversed(range(cfg.householder)):
             y = _householder(params.hh_v[i * cfg.householder + h], y)
+        sandwich = _layer_uses_dct(cfg, i)
+        if sandwich:
+            y = dct_mat @ y
         m = masks[i]
         shift, log_scale = _coupling_nets(cfg, params, i, y * m)
         free = 1.0 - m
         y = m * y + free * ((y - shift) * jnp.exp(-log_scale))
+        if sandwich:
+            y = dct_mat.T @ y
     return y
 
 

@@ -1,26 +1,34 @@
 """Masked per-chain row writes into chunk buffers.
 
 The NUTS machine commits one row per chain into [chains, chunk, width]
-buffers whenever that chain completes a draw.  Two lowerings:
+buffers whenever that chain completes a draw.  Three lowerings of the
+batched op (identical values, very different TPU cost/reliability):
 
-- **batched scatter** (`.at[idx].set(value, mode="drop")`): O(chains*width)
-  HBM traffic per machine step -- the right op.  On some TPU toolchains it
-  MISCOMPILES at large buffer sizes (silently dropped rows with
-  scatter-set, device faults with scatter-add -- observed at
-  ~[2048, 64, 173] f32 on jax 0.9/axon in round 2), so it cannot be
-  trusted blindly.
+- **flat scatter**: reshape the buffer to [chains*chunk, width] and issue
+  ONE scatter-set with global row indices ``c*chunk + idx[c]`` --
+  O(chains*width) HBM traffic per machine step, and a different XLA:TPU
+  lowering path (no scatter batching dims) than the one observed to
+  miscompile.
+- **batched scatter** (vmapped ``.at[idx].set(value, mode="drop")``): also
+  O(chains*width), but on some TPU toolchains it MISCOMPILES at large
+  buffer sizes (silently dropped rows with scatter-set, device faults with
+  scatter-add -- observed at ~[2048, 64, 173] f32 on jax 0.9/axon in
+  round 2), so it cannot be trusted blindly.
 - **one-hot masked select** over the buffer: O(chains*chunk*width) traffic
-  per step (the whole buffer is rewritten), but lowers reliably and
-  aliases in place through the while loop.  At the 2048-chain radon bench
-  the dense commits are ~30% of HBM traffic, so this is the single
-  biggest known overhead.
+  per step (the whole buffer is rewritten), but lowers reliably.  At the
+  2048-chain radon bench the dense commits are the single biggest HBM
+  consumer (~99 MB per sweep for position+stats alone).
 
-Strategy: on TPU, PROBE the device once per process -- run a bench-shaped
-while-loop of masked batched scatter-sets and compare against the numpy
-ground truth.  If the device scatters correctly, use scatter; on any
-mismatch or error, fall back to select.  CPU/GPU always scatter.  The
-probe result is cached per backend; ``NUTPIE_TPU_ROW_WRITE`` overrides
-(``scatter`` / ``select``) for benchmarking both paths.
+Strategy: on TPU, PROBE the device once per process per lowering -- run a
+bench-shaped while-loop of masked row writes and compare against the numpy
+ground truth.  Preference order: flat scatter, then batched scatter, then
+select.  CPU/GPU always use batched scatter (correct everywhere off-TPU).
+``NUTPIE_TPU_ROW_WRITE`` overrides (``flat`` / ``scatter`` / ``select``)
+for benchmarking.
+
+The public :func:`masked_row_write` has UNBATCHED semantics and carries a
+``jax.custom_batching.custom_vmap`` rule, so the per-chain sampler code
+(vmapped over chains) transparently gets the probed batched lowering.
 """
 
 from __future__ import annotations
@@ -30,28 +38,66 @@ import os
 import jax
 import jax.numpy as jnp
 import numpy as np
+from jax import custom_batching
 
-_PROBED: dict[str, bool] = {}
+_PROBED: dict[str, str] = {}
+
+
+# --------------------------------------------------------------- lowerings
 
 
 def _batched_scatter(buf, idx, mask, value):
     """buf[c, idx[c]] = value[c] where mask[c] (batched over chains)."""
     L = buf.shape[1]
-    safe_idx = jnp.where(mask, jnp.clip(idx, 0, L - 1), L)
+    ok = mask & (idx >= 0) & (idx < L)
+    safe_idx = jnp.where(ok, idx, L)
     return jax.vmap(lambda b, j, v: b.at[j].set(v, mode="drop"))(
         buf, safe_idx, value
     )
 
 
-def _scatter_probe() -> bool:
-    """Bench-shaped correctness probe of batched scatter-set on this device.
+def _flat_scatter(buf, idx, mask, value):
+    """One global scatter into the [chains*L, ...] reshaped buffer."""
+    C, L = buf.shape[0], buf.shape[1]
+    # masked-off rows must go out of range GLOBALLY (a per-chain sentinel of
+    # L would land in the next chain's row 0 after flattening)
+    ok = mask & (idx >= 0) & (idx < L)
+    rows = jnp.where(
+        ok,
+        jnp.arange(C, dtype=jnp.int32) * L + idx.astype(jnp.int32),
+        C * L,
+    )
+    flat = buf.reshape((C * L,) + buf.shape[2:])
+    flat = flat.at[rows].set(value, mode="drop")
+    return flat.reshape(buf.shape)
+
+
+def _select(buf, idx, mask, value):
+    L = buf.shape[1]
+    onehot = (
+        jnp.arange(L, dtype=jnp.int32)[None, :] == idx[:, None]
+    ) & mask[:, None]
+    shape = onehot.shape + (1,) * (buf.ndim - 2)
+    return jnp.where(onehot.reshape(shape), value[:, None, ...], buf)
+
+
+_IMPLS = {"flat": _flat_scatter, "scatter": _batched_scatter,
+          "select": _select}
+
+
+# ------------------------------------------------------------------ probe
+
+
+def _probe(kind: str) -> bool:
+    """Bench-shaped correctness probe of a batched lowering on this device.
 
     Mimics the production pattern exactly: a while-loop-carried
     [chains, chunk, width] f32 buffer receiving masked one-row-per-chain
-    scatter-sets each iteration.  Returns True only when the device result
-    is bit-identical to the numpy ground truth.
+    writes each iteration.  Returns True only when the device result is
+    bit-identical to the numpy ground truth.
     """
     C, L, W = 2048, 64, 208
+    impl = _IMPLS[kind]
 
     def step(i, buf):
         idx = (i + jnp.arange(C, dtype=jnp.int32)) % L
@@ -62,7 +108,7 @@ def _scatter_probe() -> bool:
             ]
             + jnp.arange(W, dtype=jnp.float32)[None, :]
         )
-        return _batched_scatter(buf, idx, mask, value)
+        return impl(buf, idx, mask, value)
 
     try:
         out = jax.jit(
@@ -86,37 +132,59 @@ def _scatter_probe() -> bool:
     return bool(np.array_equal(out, ref))
 
 
-def _use_select() -> bool:
+def _mode() -> str:
     forced = os.environ.get("NUTPIE_TPU_ROW_WRITE")
-    if forced == "select":
-        return True
-    if forced == "scatter":
-        return False
+    if forced in _IMPLS:
+        return forced
     try:
         backend = jax.default_backend()
     except Exception:
-        return False
+        return "scatter"
     if backend != "tpu":
-        return False
+        return "scatter"
     if backend not in _PROBED:
-        _PROBED[backend] = _scatter_probe()
-    return not _PROBED[backend]
+        if _probe("flat"):
+            _PROBED[backend] = "flat"
+        elif _probe("scatter"):
+            _PROBED[backend] = "scatter"
+        else:
+            _PROBED[backend] = "select"
+    return _PROBED[backend]
 
 
+def _use_select() -> bool:
+    """Resolve the lowering eagerly (runs the device probes on TPU)."""
+    return _mode() == "select"
+
+
+# -------------------------------------------------------------- public op
+
+
+@custom_batching.custom_vmap
 def masked_row_write(buf, idx, mask, value):
     """Per-chain masked row write: buf[idx] = value where mask (else no-op).
 
     Unbatched semantics -- ``buf`` is [L] or [L, W], ``idx``/``mask`` are
-    scalars, ``value`` matches ``buf[idx]``.  Designed to be vmapped over
-    the chains axis.
+    scalars, ``value`` matches ``buf[idx]``.  Out-of-range indices are
+    dropped (no clipping) in every lowering.  Designed to be vmapped over
+    the chains axis: the custom vmap rule swaps in the probed batched
+    lowering (flat scatter / batched scatter / one-hot select).
     """
     L = buf.shape[0]
     value = jnp.asarray(value).astype(buf.dtype)
-    if _use_select():
-        onehot = (jnp.arange(L, dtype=jnp.int32) == idx) & mask
-        if buf.ndim == 1:
-            return jnp.where(onehot, value, buf)
-        shape = (L,) + (1,) * (buf.ndim - 1)
-        return jnp.where(onehot.reshape(shape), value[None, ...], buf)
-    safe_idx = jnp.where(mask, jnp.clip(idx, 0, L - 1), L)
+    safe_idx = jnp.where(mask & (idx >= 0) & (idx < L), idx, L)
     return buf.at[safe_idx].set(value, mode="drop")
+
+
+@masked_row_write.def_vmap
+def _masked_row_write_vmap(axis_size, in_batched, buf, idx, mask, value):
+    buf_b, idx_b, mask_b, value_b = in_batched
+    # the sampler always batches everything; broadcast stragglers for safety
+    if not buf_b:
+        buf = jnp.broadcast_to(buf[None], (axis_size,) + buf.shape)
+    idx = jnp.broadcast_to(jnp.asarray(idx, jnp.int32), (axis_size,))
+    mask = jnp.broadcast_to(jnp.asarray(mask), (axis_size,))
+    value = jnp.asarray(value).astype(buf.dtype)
+    if not value_b:
+        value = jnp.broadcast_to(value[None], (axis_size,) + value.shape)
+    return _IMPLS[_mode()](buf, idx, mask, value), True

@@ -216,6 +216,57 @@ def test_masked_row_write():
     assert np.asarray(out1).sum() == 3
 
 
+def test_masked_row_write_lowerings_agree(monkeypatch):
+    # flat scatter / batched scatter / one-hot select produce identical
+    # results, including masked-off chains whose sentinel index must fall
+    # out of range GLOBALLY after flattening (not into the next chain's
+    # row 0), and in the production pattern (jit + while loop + vmap)
+    import jax
+    from nutpie_tpu.ops import row_write
+
+    C, L, W = 8, 6, 3
+    rng = np.random.default_rng(3)
+
+    def run(mode):
+        monkeypatch.setenv("NUTPIE_TPU_ROW_WRITE", mode)
+
+        vals_all = jnp.asarray(rng_vals)
+
+        def step(i, buf):
+            idx = ((i + jnp.arange(C, dtype=jnp.int32)) % (L + 2)).astype(
+                jnp.int32
+            )
+            mask = (i + jnp.arange(C, dtype=jnp.int32)) % 3 != 0
+            vals = vals_all[i]
+            return jax.vmap(row_write.masked_row_write)(buf, idx, mask, vals)
+
+        return np.asarray(jax.jit(
+            lambda: jax.lax.fori_loop(
+                0, L, step, jnp.zeros((C, L, W), jnp.float32)
+            )
+        )())
+
+    rng_vals = rng.standard_normal((L, C, W)).astype(np.float32)
+    outs = {m: run(m) for m in ("flat", "scatter", "select")}
+    np.testing.assert_array_equal(outs["flat"], outs["scatter"])
+    np.testing.assert_array_equal(outs["select"], outs["scatter"])
+    # masked-off sentinel never bleeds into a neighboring chain: ground truth
+    ref = np.zeros((C, L, W), np.float32)
+    for i in range(L):
+        idx = (i + np.arange(C)) % (L + 2)
+        mask = (i + np.arange(C)) % 3 != 0
+        # out-of-range indices are dropped in every lowering
+        for c in np.nonzero(mask & (idx < L))[0]:
+            ref[c, idx[c]] = rng_vals[i, c]
+    np.testing.assert_array_equal(outs["flat"], ref)
+    # unbatched path still works
+    monkeypatch.setenv("NUTPIE_TPU_ROW_WRITE", "flat")
+    single = row_write.masked_row_write(
+        jnp.zeros((L,)), jnp.asarray(2), jnp.asarray(True), jnp.asarray(7.0)
+    )
+    assert float(single[2]) == 7.0
+
+
 def test_flat_jitter_mask():
     # pymc-frontend helper, pure numpy (test lives here because
     # test_pymc.py is module-skipped without pymc): jitter_rvs selects slices; the

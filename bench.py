@@ -364,6 +364,86 @@ def run_scaling() -> None:
     print(json.dumps(result))
 
 
+def run_rowwrite_sweep() -> None:
+    """Per-sweep cost of the three row-write lowerings at bench shape.
+
+    Times warm post-warmup chunks of the radon bench config under each
+    forced ``NUTPIE_TPU_ROW_WRITE`` mode, plus the device correctness
+    probes.  The commit path is the dominant per-sweep HBM consumer under
+    ``select``; this quantifies how much ``flat``/``scatter`` buy (their
+    timing is meaningful even where they miscompile -- correctness is the
+    probe's job).
+    """
+    import os
+
+    import jax
+    import jax.numpy as jnp
+
+    from nutpie_tpu.models import radon
+    from nutpie_tpu.ops import row_write
+    from nutpie_tpu.sampler import AdaptConfig, NutsConfig
+    from nutpie_tpu.sampler.adapt import make_schedule
+    from nutpie_tpu.sampler.run import init_chains, make_chunk_runner
+
+    ctx = jax.default_matmul_precision("highest")
+    ctx.__enter__()
+    chains = int(os.environ.get("NUTPIE_RW_SWEEP_CHAINS", "2048"))
+    tune = int(os.environ.get("NUTPIE_RW_SWEEP_TUNE", "300"))
+    chunk = 32
+    model = radon()
+    dtype = jnp.float32
+    cfg = NutsConfig(adapt=AdaptConfig(num_tune=tune))
+    sched = make_schedule(cfg.adapt, tune)
+
+    probes = {}
+    if jax.default_backend() == "tpu":
+        probes = {k: row_write._probe(k) for k in ("flat", "scatter")}
+
+    # warm up one fleet to a realistic post-warmup state
+    states, _ = init_chains(
+        model, cfg, 3, chains, np.zeros(model.ndim), dtype
+    )
+    warm = make_chunk_runner(model, cfg, chunk, dtype, unroll=8)
+    start = 0
+    while start < tune:
+        states, _bufs = warm(states, start, min(chunk, tune - start), sched)
+        start += chunk
+    # the runner donates its state argument, so keep a pristine copy and
+    # rehydrate a fresh device copy per mode for identical work
+    snap = jax.tree_util.tree_map(jnp.copy, states)
+
+    out = {}
+    for mode in ("select", "flat", "scatter"):
+        os.environ["NUTPIE_TPU_ROW_WRITE"] = mode
+        runner = make_chunk_runner(
+            model, cfg, chunk, dtype, unroll=8, adapt_frozen=True
+        )
+        s = jax.tree_util.tree_map(jnp.copy, snap)
+        s, bufs = runner(s, tune, chunk, sched)  # compile
+        jax.block_until_ready(bufs.position)
+        reps = 3
+        t0 = time.perf_counter()
+        steps = 0
+        for _ in range(reps):
+            s, bufs = runner(s, tune, chunk, sched)
+            steps += int(jnp.sum(jnp.max(bufs.n_steps, axis=0)))
+        jax.block_until_ready(bufs.position)
+        dt = time.perf_counter() - t0
+        # sweeps ~ sum over draws of the fleet-max step count
+        out[mode] = {
+            "chunk_wall_ms": round(1e3 * dt / reps, 2),
+            "ms_per_sweep": round(1e3 * dt / max(steps, 1), 4),
+        }
+    os.environ.pop("NUTPIE_TPU_ROW_WRITE", None)
+    print(json.dumps({
+        "metric": "rowwrite_sweep",
+        "value": out["select"]["ms_per_sweep"],
+        "unit": "ms/sweep (select)",
+        "detail": {"modes": out, "probes": probes,
+                   "device": str(jax.devices()[0])},
+    }))
+
+
 def main() -> None:
     import jax
     import jax.numpy as jnp
@@ -506,6 +586,8 @@ if __name__ == "__main__":
         run_baseline()
     elif "--scaling" in sys.argv:
         run_scaling()
+    elif "--rowwrite-sweep" in sys.argv:
+        run_rowwrite_sweep()
     else:
         ok, attempts, err = _probe_backend()
         if not ok:

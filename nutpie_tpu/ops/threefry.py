@@ -97,6 +97,16 @@ def bits_to_uniform(bits, dtype=jnp.float32):
     ).astype(dtype)
 
 
+def uniform1(kd):
+    """``jax.random.uniform(key, (), float32)`` from raw key data.
+
+    Partitionable counts for a scalar shape are ``(0, 0)``.
+    """
+    kd = jnp.asarray(kd, jnp.uint32)
+    bits = random_bits32(kd, jnp.zeros(kd.shape[:-1], jnp.uint32))
+    return bits_to_uniform(bits)
+
+
 def uniform3(kd):
     """``jax.random.uniform(key, (3,), float32)`` from raw key data.
 

@@ -361,6 +361,12 @@ def _w(mask, new, old):
     return jnp.where(m, new, old)
 
 
+def _raw_key(rng_key) -> bool:
+    """True when the state carries raw uint32[2] key data instead of a typed
+    jax.random key (the megakernel path; see ops/threefry.py)."""
+    return getattr(rng_key, "dtype", None) == jnp.uint32
+
+
 def n_vec_rows(cfg: NutsConfig) -> int:
     return N_VEC_DIV if cfg.store_divergences else N_VEC_BASE
 
@@ -623,8 +629,21 @@ def machine_step(
     active = ~in_done
 
     # ------------------------------------------------ scalar randomness
-    ku = jax.random.fold_in(jax.random.fold_in(s.rng_key, 3), in_total_steps)
-    u3 = jax.random.uniform(ku, (3,), jnp.float32).astype(dtype)
+    # The state's rng_key is either a typed jax.random key (XLA path) or its
+    # raw uint32[2] key data (megakernel path: typed-key primitives do not
+    # lower in Mosaic).  Both dispatch to the same Threefry streams --
+    # ops/threefry.py is bit-equal to jax.random (tests/test_threefry.py) --
+    # so draws are identical whichever path executes the step.
+    if _raw_key(s.rng_key):
+        from ..ops import threefry as _tf
+
+        ku = _tf.fold_in_data(_tf.fold_in_data(s.rng_key, 3), in_total_steps)
+        u3 = _tf.uniform3(ku).astype(dtype)
+    else:
+        ku = jax.random.fold_in(
+            jax.random.fold_in(s.rng_key, 3), in_total_steps
+        )
+        u3 = jax.random.uniform(ku, (3,), jnp.float32).astype(dtype)
 
     # ------------------------------------------------ doubling start
     at_start = in_n_leaf == 0
@@ -710,9 +729,14 @@ def machine_step(
         # (train_on_orbit: the flow trains on orbit points, which cover the
         # trajectory uniformly rather than multinomially); the dedicated
         # fold keeps the main u3 streams untouched
-        u_orb = jax.random.uniform(
-            jax.random.fold_in(ku, 1), (), jnp.float32
-        ).astype(dtype)
+        if _raw_key(ku):
+            from ..ops import threefry as _tf
+
+            u_orb = _tf.uniform1(_tf.fold_in_data(ku, 1)).astype(dtype)
+        else:
+            u_orb = jax.random.uniform(
+                jax.random.fold_in(ku, 1), (), jnp.float32
+            ).astype(dtype)
         take_orbit = active & (u_orb * n_leaves.astype(dtype) <= 1.0)
         orbit_z = _w(take_orbit, z_new, s.orbit_z)
         orbit_g = _w(take_orbit, g_new, s.orbit_g)

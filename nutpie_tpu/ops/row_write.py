@@ -132,7 +132,32 @@ def _probe(kind: str) -> bool:
     return bool(np.array_equal(out, ref))
 
 
+# Trace-time override used while tracing code destined for a Pallas kernel
+# body: Mosaic cannot lower batched scatters/gathers, so the megakernel
+# forces the one-hot select lowering (cheap there -- the buffers involved
+# are VMEM-resident).
+_FORCED: list[str] = []
+
+
+class force_mode:
+    """Context manager forcing a row-write lowering during tracing."""
+
+    def __init__(self, mode: str):
+        assert mode in _IMPLS
+        self.mode = mode
+
+    def __enter__(self):
+        _FORCED.append(self.mode)
+        return self
+
+    def __exit__(self, *exc):
+        _FORCED.pop()
+        return False
+
+
 def _mode() -> str:
+    if _FORCED:
+        return _FORCED[-1]
     forced = os.environ.get("NUTPIE_TPU_ROW_WRITE")
     if forced in _IMPLS:
         return forced
@@ -188,3 +213,35 @@ def _masked_row_write_vmap(axis_size, in_batched, buf, idx, mask, value):
     if not value_b:
         value = jnp.broadcast_to(value[None], (axis_size,) + value.shape)
     return _IMPLS[_mode()](buf, idx, mask, value), True
+
+
+@custom_batching.custom_vmap
+def row_read(buf, idx):
+    """Per-chain dynamic row read: ``buf[idx]`` (clipped).
+
+    Unbatched semantics -- ``buf`` is [L] or [L, W], ``idx`` a scalar.
+    Under vmap the lowering follows the active row-write mode: a batched
+    gather normally (bit-identical to ``buf[idx]``), or a one-hot
+    select-and-reduce under :class:`force_mode` ("select") for Pallas kernel
+    bodies where Mosaic cannot lower batched gathers.
+    """
+    L = buf.shape[0]
+    return buf[jnp.clip(idx, 0, L - 1)]
+
+
+@row_read.def_vmap
+def _row_read_vmap(axis_size, in_batched, buf, idx):
+    buf_b, idx_b = in_batched
+    if not buf_b:
+        buf = jnp.broadcast_to(buf[None], (axis_size,) + buf.shape)
+    idx = jnp.broadcast_to(jnp.asarray(idx, jnp.int32), (axis_size,))
+    L = buf.shape[1]
+    idx_c = jnp.clip(idx, 0, L - 1)
+    if _mode() == "select":
+        # jnp.where (not multiply) so NaN-initialized rows cannot leak
+        # through 0 * NaN
+        onehot = jnp.arange(L, dtype=jnp.int32)[None, :] == idx_c[:, None]
+        shape = onehot.shape + (1,) * (buf.ndim - 2)
+        masked = jnp.where(onehot.reshape(shape), buf, jnp.zeros((), buf.dtype))
+        return jnp.sum(masked, axis=1), True
+    return jax.vmap(lambda b, j: b[j])(buf, idx_c), True

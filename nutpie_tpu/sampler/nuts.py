@@ -58,7 +58,7 @@ from .state import (
     NutsMachineState,
     tree_where,
 )
-from ..ops.row_write import masked_row_write
+from ..ops.row_write import masked_row_write, row_read
 from ..transforms.flow import FlowConfig, FlowParams, init_flow_params
 
 
@@ -771,8 +771,18 @@ def machine_step(
     ckpt_s = masked_row_write(ckpt_s, top, push, rho_sub_pre)
     top_after_push = jnp.where(push, top + 1, top)
 
-    # trailing zeros of n (for even n): subtrees of sizes 2^1..2^t end here
-    tz = jax.lax.population_count((n & -n) - 1)
+    # trailing zeros of n (for even n): subtrees of sizes 2^1..2^t end here.
+    # Computed from the f32 exponent bits of the lowest set bit -- exact for
+    # n < 2**24 (n <= 2**maxdepth here) and elementwise-only, so it lowers in
+    # Mosaic where lax.population_count does not.
+    lsb_f = (n & -n).astype(jnp.float32)
+    tz = (
+        jax.lax.shift_right_logical(
+            jax.lax.bitcast_convert_type(lsb_f, jnp.int32),
+            jnp.int32(23),
+        )
+        - jnp.int32(127)
+    )
     even = active & ~odd
     if cfg.check_turning:
         # vectorized checks against the top `tz` checkpoints
@@ -1033,10 +1043,12 @@ def machine_step(
     )
 
     # start the next draw for chains that completed one and aren't done
+    # (row_read = buf[idx] with a Mosaic-lowerable batched rule)
     restart = draw_done & ~done
     next_idx_c = jnp.clip(idx + 1, 0, mom_gauss.shape[0] - 1)
     started = start_draw(
-        cfg, sched, state, mom_gauss[next_idx_c], jitter_us[next_idx_c]
+        cfg, sched, state,
+        row_read(mom_gauss, next_idx_c), row_read(jitter_us, next_idx_c),
     )
     state = tree_where(restart, started, state)
     return state, bufs

@@ -62,7 +62,19 @@ def radon(
     floor=None,
     counties=None,
     seed: int = 42,
+    gather: str = "index",
 ) -> ModelDef:
+    """Radon model; ``gather`` picks the county-lookup formulation.
+
+    - ``"index"`` (default): ``county_effect[county_idx]`` -- an XLA gather,
+      the natural form for the standard sampler path.
+    - ``"onehot"``: the lookup is a matmul against a constant one-hot
+      [n_obs, n_counties] matrix (and its transpose in the gradient).  Same
+      density, MXU-friendly and free of gather/scatter ops, so the logp can
+      trace inside a Pallas machine-step kernel (Mosaic lowers matmuls, not
+      batched gathers).  Numerics differ from ``"index"`` only in summation
+      order.
+    """
     if log_radon is None:
         log_radon, county_idx, floor, counties = simulate_radon_data(seed)
     log_radon = np.asarray(log_radon, np.float64)
@@ -77,6 +89,21 @@ def radon(
     y = jnp.asarray(log_radon)
     cidx = jnp.asarray(county_idx)
     fl = jnp.asarray(floor)
+    if gather == "onehot":
+        onehot_np = np.zeros((n_obs, n_c))
+        onehot_np[np.arange(n_obs), county_idx] = 1.0
+        onehot = jnp.asarray(onehot_np)
+
+        def _county_lookup(effect):
+            return onehot @ effect
+
+    elif gather == "index":
+
+        def _county_lookup(effect):
+            return effect[cidx]
+
+    else:
+        raise ValueError(f"unknown gather mode {gather!r}")
 
     # flat layout: intercept | county_raw_z (n_c-1) | log_county_sd |
     #              floor_effect | county_floor_raw_z (n_c-1) | log_cf_sd |
@@ -126,9 +153,9 @@ def radon(
         cf_effect = cf_raw * cf_sd
         mu = (
             intercept
-            + county_effect[cidx]
+            + _county_lookup(county_effect)
             + floor_effect * fl
-            + cf_effect[cidx] * fl
+            + _county_lookup(cf_effect) * fl
         )
         resid = (y - mu) / sigma
         lp += -0.5 * jnp.sum(resid * resid) - n_obs * log_sigma

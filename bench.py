@@ -29,6 +29,7 @@ The previous hard-coded estimate (~2000 ESS/s from ~20us gradients,
 """
 
 import json
+import os
 import subprocess
 import sys
 import time
@@ -52,10 +53,11 @@ try:
 except Exception:
     pass
 
-CHAINS = 2048
-TUNE = 300
-DRAWS = 3000
-CHUNK = 32
+# headline config; env-overridable for sweeps and CPU smoke tests
+CHAINS = int(os.environ.get("NUTPIE_BENCH_CHAINS", "2048"))
+TUNE = int(os.environ.get("NUTPIE_BENCH_TUNE", "300"))
+DRAWS = int(os.environ.get("NUTPIE_BENCH_DRAWS", "3000"))
+CHUNK = int(os.environ.get("NUTPIE_BENCH_CHUNK", "32"))
 
 
 def _emit_error(stage: str, err: str) -> None:
@@ -457,7 +459,13 @@ def main() -> None:
     ctx = jax.default_matmul_precision("highest")
     ctx.__enter__()
 
-    model = radon()
+    import os
+
+    # NUTPIE_TPU_MEGAKERNEL=1 runs post-warmup chunks through the Pallas
+    # machine-step megakernel (state + buffers VMEM-resident for the whole
+    # chunk; sampler/megakernel.py) on the gather-free one-hot radon logp.
+    use_mk = os.environ.get("NUTPIE_TPU_MEGAKERNEL", "") == "1"
+    model = radon(gather="onehot" if use_mk else "index")
     dtype = jnp.float32
     cfg = NutsConfig(adapt=AdaptConfig(num_tune=TUNE))
     sched = make_schedule(cfg.adapt, TUNE)
@@ -470,10 +478,24 @@ def main() -> None:
     # out.  A capability the reference lacks (its chains never communicate).
     runner = make_chunk_runner(model, cfg, CHUNK, dtype, unroll=8,
                                pool_mass_matrix=True, pool_step_size=True)
-    runner_frozen = make_chunk_runner(
-        model, cfg, CHUNK, dtype, unroll=8, adapt_frozen=True,
-        pool_step_size=True,
-    )
+    if use_mk:
+        from nutpie_tpu.sampler.megakernel import (
+            make_megakernel_chunk_runner,
+        )
+
+        runner_frozen = make_megakernel_chunk_runner(
+            model, cfg, CHUNK, dtype,
+            tile=int(os.environ.get("NUTPIE_MK_TILE", "64")),
+            unroll=int(os.environ.get("NUTPIE_MK_UNROLL", "1")),
+            pool_step_size=True,
+            # interpreter mode for CPU smoke tests of the bench path
+            interpret=os.environ.get("NUTPIE_MK_INTERPRET", "") == "1",
+        )
+    else:
+        runner_frozen = make_chunk_runner(
+            model, cfg, CHUNK, dtype, unroll=8, adapt_frozen=True,
+            pool_step_size=True,
+        )
 
     # monitored columns: intercept, both log-sds, log-sigma, spread of
     # county effects (the worst mixers are the hierarchical scales)

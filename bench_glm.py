@@ -43,9 +43,22 @@ def main() -> None:
 
     init_fn = make_init_fn(model, cfg, dtype)
     runner = make_chunk_runner(model, cfg, CHUNK, dtype, unroll=4)
-    runner_frozen = make_chunk_runner(
-        model, cfg, CHUNK, dtype, unroll=4, adapt_frozen=True
-    )
+    if os.environ.get("NUTPIE_TPU_MEGAKERNEL", "") == "1":
+        # GLM logp is one matvec -- already Mosaic-lowerable as-is
+        from nutpie_tpu.sampler.megakernel import (
+            make_megakernel_chunk_runner,
+        )
+
+        runner_frozen = make_megakernel_chunk_runner(
+            model, cfg, CHUNK, dtype,
+            tile=int(os.environ.get("NUTPIE_MK_TILE", "128")),
+            unroll=int(os.environ.get("NUTPIE_MK_UNROLL", "1")),
+            interpret=os.environ.get("NUTPIE_MK_INTERPRET", "") == "1",
+        )
+    else:
+        runner_frozen = make_chunk_runner(
+            model, cfg, CHUNK, dtype, unroll=4, adapt_frozen=True
+        )
     cols = jnp.arange(0, DIM, max(1, DIM // 24), dtype=jnp.int32)
 
     def run(seed):

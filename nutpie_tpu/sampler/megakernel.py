@@ -69,6 +69,7 @@ def make_megakernel_chunk_runner(
     tile: int = 64,
     unroll: int = 1,
     interpret: bool = False,
+    pool_step_size: bool = False,
 ):
     """Build the jitted megakernel chunk runner (post-warmup, adapt frozen).
 
@@ -181,6 +182,15 @@ def make_megakernel_chunk_runner(
                 f"chains ({n_chains}) must be a multiple of tile ({tile})"
             )
         dim = states.position.shape[-1]
+
+        if pool_step_size:
+            # cross-chain pooling is a chunk-boundary collective; it runs in
+            # XLA outside the kernel, exactly as in run.make_chunk_runner
+            from .adapt import pool_adapt_state
+
+            states = states._replace(adapt=pool_adapt_state(
+                states.adapt, pool_mass=False, pool_step=True,
+            ))
 
         # raw key data: typed-key primitives do not lower in Mosaic
         raw = states._replace(

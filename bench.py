@@ -511,9 +511,13 @@ def main() -> None:
             init_fn=init_fn,
         )
         post_chunks = []
-        n_steps_total = 0
-        divergences = 0
-        div_posterior = 0
+        # accumulate counters ON DEVICE: an int() per chunk would block the
+        # host on every chunk's completion, serializing dispatch through the
+        # host<->device link; device accumulation keeps the dispatch loop
+        # running ahead and syncs once at the end
+        n_steps_total = jnp.zeros((), jnp.float32)
+        divergences = jnp.zeros((), jnp.int32)
+        div_posterior = jnp.zeros((), jnp.int32)
         start = 0
         depth_cap = None
         freeze_start = TUNE - int(cfg.adapt.freeze_share * TUNE)
@@ -531,17 +535,20 @@ def main() -> None:
                 # keep only the monitored columns on device (full buffers
                 # would exhaust HBM at large chains x draws)
                 post_chunks.append(bufs.position[:, keep_from:limit, cols])
-                div_posterior += int(
-                    jnp.sum(bufs.diverging[:, keep_from:limit])
+                div_posterior = div_posterior + jnp.sum(
+                    bufs.diverging[:, keep_from:limit], dtype=jnp.int32
                 )
-            n_steps_total += int(jnp.sum(bufs.n_steps))  # scalar transfer
-            divergences += int(jnp.sum(bufs.diverging))
+            n_steps_total = n_steps_total + jnp.sum(bufs.n_steps)
+            divergences = divergences + jnp.sum(
+                bufs.diverging, dtype=jnp.int32
+            )
             start += limit
         posterior = jnp.concatenate(post_chunks, axis=1)
         min_ess = min_ess_over_columns(
             posterior, jnp.arange(cols.shape[0], dtype=jnp.int32)
         )
-        return float(min_ess), n_steps_total, divergences, div_posterior
+        return (float(min_ess), int(n_steps_total), int(divergences),
+                int(div_posterior))
 
     # warmup: compiles init, runner, and the ESS program
     run(1)

@@ -67,8 +67,10 @@ def main() -> None:
             init_fn=init_fn,
         )
         post = []
-        n_steps = 0
-        divergences = 0
+        # device-side accumulation: int() per chunk would block dispatch on
+        # every chunk boundary (see bench.py); sync once at the end instead
+        n_steps = jnp.zeros((), jnp.float32)
+        divergences = jnp.zeros((), jnp.int32)
         start = 0
         while start < total:
             limit = min(CHUNK, total - start)
@@ -76,12 +78,14 @@ def main() -> None:
             states, bufs = active(states, start, limit, sched)
             if start + limit > TUNE:
                 post.append(bufs.position[:, max(0, TUNE - start):limit])
-            n_steps += int(jnp.sum(bufs.n_steps))
-            divergences += int(jnp.sum(bufs.diverging))
+            n_steps = n_steps + jnp.sum(bufs.n_steps)
+            divergences = divergences + jnp.sum(
+                bufs.diverging, dtype=jnp.int32
+            )
             start += limit
         posterior = jnp.concatenate(post, axis=1)
         min_ess = float(min_ess_over_columns(posterior, cols))
-        return min_ess, n_steps, divergences
+        return min_ess, int(n_steps), int(divergences)
 
     run(1)  # compile
     t0 = time.perf_counter()

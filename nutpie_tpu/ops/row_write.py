@@ -73,12 +73,18 @@ def _flat_scatter(buf, idx, mask, value):
 
 
 def _select(buf, idx, mask, value):
+    # Shape bookkeeping happens on i32 operands and the boolean is produced
+    # directly at the broadcast rank: Mosaic cannot reshape i1 vectors
+    # ("insertion of minor dim ... only supported for 32-bit types"), so
+    # no bool array is ever reshaped here.
     L = buf.shape[1]
-    onehot = (
-        jnp.arange(L, dtype=jnp.int32)[None, :] == idx[:, None]
-    ) & mask[:, None]
-    shape = onehot.shape + (1,) * (buf.ndim - 2)
-    return jnp.where(onehot.reshape(shape), value[:, None, ...], buf)
+    C = buf.shape[0]
+    trail = (1,) * (buf.ndim - 2)
+    iota = jnp.arange(L, dtype=jnp.int32).reshape((1, L) + trail)
+    idx_e = idx.astype(jnp.int32).reshape((C, 1) + trail)
+    mask_e = jnp.asarray(mask).astype(jnp.int32).reshape((C, 1) + trail)
+    onehot = (iota == idx_e) & (mask_e != 0)
+    return jnp.where(onehot, value[:, None, ...], buf)
 
 
 _IMPLS = {"flat": _flat_scatter, "scatter": _batched_scatter,
@@ -239,9 +245,13 @@ def _row_read_vmap(axis_size, in_batched, buf, idx):
     idx_c = jnp.clip(idx, 0, L - 1)
     if _mode() == "select":
         # jnp.where (not multiply) so NaN-initialized rows cannot leak
-        # through 0 * NaN
-        onehot = jnp.arange(L, dtype=jnp.int32)[None, :] == idx_c[:, None]
-        shape = onehot.shape + (1,) * (buf.ndim - 2)
-        masked = jnp.where(onehot.reshape(shape), buf, jnp.zeros((), buf.dtype))
+        # through 0 * NaN; the boolean is built at broadcast rank from i32
+        # operands (Mosaic cannot reshape i1 vectors)
+        C = buf.shape[0]
+        trail = (1,) * (buf.ndim - 2)
+        iota = jnp.arange(L, dtype=jnp.int32).reshape((1, L) + trail)
+        idx_e = idx_c.astype(jnp.int32).reshape((C, 1) + trail)
+        onehot = iota == idx_e
+        masked = jnp.where(onehot, buf, jnp.zeros((), buf.dtype))
         return jnp.sum(masked, axis=1), True
     return jax.vmap(lambda b, j: b[j])(buf, idx_c), True

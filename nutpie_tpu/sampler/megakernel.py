@@ -155,7 +155,10 @@ def make_megakernel_chunk_runner(
 
             def cond(carry):
                 st, _ = carry
-                return ~jnp.all(st.done)
+                # i32 reduce: Mosaic cannot lower i1-vector reductions
+                from .state import INT_SLOTS as _I
+
+                return jnp.min(st.ints[:, _I["done"]]) == 0
 
             def body(carry):
                 st, bf = carry
@@ -288,6 +291,16 @@ def make_megakernel_chunk_runner(
             ]
         )
 
+        import os as _os
+
+        kw = {}
+        if pltpu is not None and not interpret:
+            # the whole chunk's state+buffers are VMEM-resident by design;
+            # the default 16MB scoped-vmem budget is too small at production
+            # tile/chunk shapes (v5e has 128MB VMEM per core)
+            kw["compiler_params"] = pltpu.CompilerParams(
+                vmem_limit_bytes=100 * 1024 * 1024,
+            )
         outs = pl.pallas_call(
             partial(kernel, state_def=state_def, n_state=n_state),
             grid=grid,
@@ -295,6 +308,8 @@ def make_megakernel_chunk_runner(
             out_specs=out_specs,
             out_shape=out_shape,
             interpret=interpret,
+            debug=_os.environ.get("NUTPIE_MK_DEBUG", "") == "1",
+            **kw,
         )(scal, *lg_consts, *leaves, mom_gauss, jitter_us)
 
         new_leaves = outs[:n_state]

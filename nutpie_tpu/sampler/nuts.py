@@ -353,11 +353,23 @@ def init_buffers(cfg: NutsConfig, chunk_len: int, dim: int, dtype,
 
 
 def _w(mask, new, old):
-    """Masked select broadcasting a boolean over trailing dims."""
+    """Masked select broadcasting a boolean over trailing dims.
+
+    The rank expansion happens on an i32 copy of the mask: Mosaic cannot
+    reshape i1 vectors (minor-dim insertion is 32-bit only), and XLA fuses
+    the round trip away.
+    """
     new = jnp.asarray(new)
     m = jnp.asarray(mask)
     if m.ndim < new.ndim:
-        m = m.reshape(m.shape + (1,) * (new.ndim - m.ndim))
+        m32 = m.astype(jnp.int32).reshape(
+            m.shape + (1,) * (new.ndim - m.ndim)
+        )
+        m = m32 != 0
+    if new.dtype == jnp.bool_:
+        # select over boolean DATA lowers through i8 extensions/truncations
+        # Mosaic rejects; the logical form is identical and fuses the same
+        return (m & new) | (~m & jnp.asarray(old))
     return jnp.where(m, new, old)
 
 
@@ -422,7 +434,7 @@ def start_draw(
         h0 = -logp
     else:
         p0 = metric_momentum(cfg, adapt, gauss)
-        ke = 0.5 * jnp.dot(p0, metric_velocity(cfg, adapt, p0))
+        ke = 0.5 * _vdot(p0, metric_velocity(cfg, adapt, p0))
         h0 = -logp + ke
     dim = position.shape[-1]
     nan_vec = jnp.full((dim,), jnp.nan, dtype)
@@ -554,9 +566,24 @@ def init_machine_state(
     )
 
 
+def _any(x) -> jax.Array:
+    """Reduce-any via an i32 sum: Mosaic lowers boolean-vector reductions
+    through i8 truncations it cannot compile, while an i32 sum+compare
+    lowers everywhere and XLA fuses it identically."""
+    return jnp.sum(jnp.where(x, 1, 0)) > 0
+
+
+def _vdot(a, b):
+    """Vector dot as multiply+sum: identical math to ``jnp.dot`` for [dim]
+    vectors, but lowers as a VPU reduce in Mosaic (vmapped ``dot_general``
+    over the kernel's chain tile produces dimension numbers Mosaic cannot
+    parse, and a dim~100 vector dot has no use for the MXU anyway)."""
+    return jnp.sum(a * b, axis=-1)
+
+
 def _turn(rho, v_a, v_b):
     """Generalized U-turn criterion given end velocities v = M^{-1} p."""
-    return (jnp.dot(rho, v_a) <= 0) | (jnp.dot(rho, v_b) <= 0)
+    return (_vdot(rho, v_a) <= 0) | (_vdot(rho, v_b) <= 0)
 
 
 def machine_step(
@@ -698,7 +725,7 @@ def machine_step(
         g_new = g_new.astype(dtype)
         p_new = p_half + 0.5 * eps_s * g_new
         v_new = metric_velocity(cfg, s.adapt, p_new)
-        ke = 0.5 * jnp.dot(p_new, v_new)
+        ke = 0.5 * _vdot(p_new, v_new)
         h = -logp_new + ke
         ke_plus = in_ke_plus
         ke_minus = in_ke_minus
@@ -715,7 +742,7 @@ def machine_step(
     # Treating the unintegrable step as a (recoverable) divergence ends the
     # draw after one leapfrog, matching the reference's recoverable-logp-
     # error semantics (``LogpError::is_recoverable``, src/pymc.rs:166-181).
-    stagnant = jnp.all(z_new == z_e)
+    stagnant = ~_any(z_new != z_e)
     div_leaf = (~finite) | (e_err > cfg.max_energy_error) | stagnant
     lw = jnp.where(div_leaf, -jnp.inf, -e_err)
     acc = jnp.where(finite, jnp.exp(jnp.minimum(jnp.zeros((), dtype), -e_err)), 0.0)
@@ -752,7 +779,7 @@ def machine_step(
     # progressive multinomial within the subtree
     logw_sub_new = jnp.logaddexp(in_logw_sub, lw)
     take = jnp.log(u3[1]) < (lw - logw_sub_new)
-    take = jnp.where(jnp.isnan(lw - logw_sub_new), False, take)
+    take = take & ~jnp.isnan(lw - logw_sub_new)
     m_take = active & take
     sprop_z = _w(m_take, z_new, in_sprop_z)
     sprop_g = _w(m_take, g_new, in_sprop_g)
@@ -790,9 +817,9 @@ def machine_step(
         slot_mask = (slots < top_after_push) & (slots >= top_after_push - tz)
         rho_ab = rho_sub_new[None, :] - ckpt_s        # [D, dim]
         d_a = jnp.sum(rho_ab * turn_velocity_rows(cfg, s.adapt, ckpt_p), axis=1)
-        d_b = rho_ab @ v_new
+        d_b = jnp.sum(rho_ab * v_new[None, :], axis=1)
         turn_vec = (d_a <= 0) | (d_b <= 0)
-        turning_here = jnp.any(turn_vec & slot_mask)
+        turning_here = _any(turn_vec & slot_mask)
         turning_sub_mid = in_turning_sub | (even & turning_here)
     else:
         turning_sub_mid = in_turning_sub
@@ -808,7 +835,7 @@ def machine_step(
     # biased progressive sampling at the merge
     log_ratio = logw_sub_new - in_logw_traj
     take2 = jnp.log(u3[2]) < log_ratio
-    take2 = jnp.where(jnp.isnan(log_ratio), False, take2)
+    take2 = take2 & ~jnp.isnan(log_ratio)
     m_take2 = merge_ok & take2
     prop_z = _w(m_take2, sprop_z, in_prop_z)
     prop_g = _w(m_take2, sprop_g, in_prop_g)
@@ -860,7 +887,7 @@ def machine_step(
     n_leaf = _w(active, jnp.where(next_doubling, 0, n), in_n_leaf)
     rho_sub = _w(active, jnp.where(next_doubling, jnp.zeros_like(rho_sub_new), rho_sub_new), in_rho_sub)
     logw_sub = _w(active, jnp.where(next_doubling, -jnp.inf, logw_sub_new), in_logw_sub)
-    turning_sub = _w(active, jnp.where(next_doubling, False, turning_sub_mid), in_turning_sub)
+    turning_sub = _w(active, turning_sub_mid & ~next_doubling, in_turning_sub)
     top_new = jnp.where(next_doubling, 0, top_new)
     ckpt_top = _w(active, top_new, in_ckpt_top)
 
@@ -903,23 +930,25 @@ def machine_step(
         fisher_dist = jnp.mean(jnp.square(prop_z + prop_g))
     else:
         fisher_dist = jnp.zeros((), dtype)
-    scalar_row = jnp.zeros((N_SCALAR_SLOTS,), dtype)
-    for name, value in (
-        ("logp", prop_logp),
-        ("energy", prop_energy),
-        ("depth", depth_stat),
-        ("maxdepth_reached", md_reached),
-        ("diverging", diverging),
-        ("step_size", in_eps),
-        ("step_size_bar", step_size_bar),
-        ("n_steps", n_leaves),
-        ("mean_tree_accept", accept_mean),
-        ("index_in_trajectory", prop_idx),
-        ("fisher_distance", fisher_dist),
-    ):
-        scalar_row = scalar_row.at[SCALAR_SLOTS[name]].set(
-            jnp.asarray(value).astype(dtype)
-        )
+    # assemble the stat row by slot position with one stack (a per-slot
+    # ``.at[].set`` would lower as scatter, which Mosaic cannot express)
+    _slot_values = {
+        "logp": prop_logp,
+        "energy": prop_energy,
+        "depth": depth_stat,
+        "maxdepth_reached": md_reached,
+        "diverging": diverging,
+        "step_size": in_eps,
+        "step_size_bar": step_size_bar,
+        "n_steps": n_leaves,
+        "mean_tree_accept": accept_mean,
+        "index_in_trajectory": prop_idx,
+        "fisher_distance": fisher_dist,
+    }
+    _rows = [jnp.zeros((), dtype)] * N_SCALAR_SLOTS
+    for name, value in _slot_values.items():
+        _rows[SCALAR_SLOTS[name]] = jnp.asarray(value).astype(dtype)
+    scalar_row = jnp.stack(_rows)
     bufs = ChunkBuffers(
         position=write(bufs.position, prop_z),
         scalars=write(bufs.scalars, scalar_row),

@@ -194,29 +194,61 @@ class NutsMachineState(NamedTuple):
         return self.ints[..., INT_SLOTS["done"]] > 0
 
 
+def _row_set(arr, n_rows: int, slot: int, value):
+    """Write one slot row of a packed array via a one-hot select.
+
+    Equivalent to ``arr.at[..., slot(, :)].set(value)`` but lowers as a
+    broadcast+select everywhere (static ``.at[]`` writes become ``scatter``,
+    which Mosaic cannot lower inside Pallas kernels and which XLA fuses
+    worse than the select on TPU).
+    """
+    if arr.ndim >= 2 and arr.shape[-2] == n_rows:
+        # vecs layout (..., n_rows, dim); value is (..., dim)
+        mask = (jnp.arange(n_rows) == slot)[:, None]
+        value = jnp.asarray(value, arr.dtype)[..., None, :]
+    else:
+        # flts/ints layout (..., n_rows); value is (...,)
+        mask = jnp.arange(n_rows) == slot
+        value = jnp.asarray(value, arr.dtype)[..., None]
+    return jnp.where(mask, value, arr)
+
+
 def state_with(state: NutsMachineState, *, position=None, gradient=None,
                logp=None, done=None) -> NutsMachineState:
     """Targeted writes into the packed state (chunk-boundary updates)."""
     vecs, flts, ints = state.vecs, state.flts, state.ints
+    n_vec = vecs.shape[-2]
     if position is not None:
-        vecs = vecs.at[..., VEC_SLOTS["position"], :].set(position)
+        vecs = _row_set(vecs, n_vec, VEC_SLOTS["position"], position)
     if gradient is not None:
-        vecs = vecs.at[..., VEC_SLOTS["gradient"], :].set(gradient)
+        vecs = _row_set(vecs, n_vec, VEC_SLOTS["gradient"], gradient)
     if logp is not None:
-        flts = flts.at[..., FLT_SLOTS["logp"]].set(logp)
+        flts = _row_set(flts, N_FLT, FLT_SLOTS["logp"], logp)
     if done is not None:
-        ints = ints.at[..., INT_SLOTS["done"]].set(
-            jnp.asarray(done, jnp.int32)
-        )
+        done = jnp.asarray(done, jnp.int32)
+        if done.ndim == 0 and ints.ndim > 1:
+            done = jnp.broadcast_to(done, ints.shape[:-1])
+        ints = _row_set(ints, N_INT, INT_SLOTS["done"], done)
     return state._replace(vecs=vecs, flts=flts, ints=ints)
 
 
 def tree_where(pred: jax.Array, a, b):
-    """Select between two pytrees with a scalar/batched boolean."""
+    """Select between two pytrees with a scalar/batched boolean.
+
+    Rank expansion happens on an i32 copy of the predicate (Mosaic cannot
+    reshape i1 vectors; XLA fuses the round trip away).
+    """
     def sel(x, y):
         p = pred
         x = jnp.asarray(x)
-        if p.ndim:
-            p = p.reshape(p.shape + (1,) * (x.ndim - p.ndim))
+        if p.ndim and x.ndim > p.ndim:
+            p32 = p.astype(jnp.int32).reshape(
+                p.shape + (1,) * (x.ndim - p.ndim)
+            )
+            p = p32 != 0
+        if x.dtype == jnp.bool_:
+            # boolean-data select lowers through i8 trunc in Mosaic;
+            # the logical form is identical
+            return (p & x) | (~p & jnp.asarray(y))
         return jnp.where(p, x, y)
     return jax.tree_util.tree_map(sel, a, b)

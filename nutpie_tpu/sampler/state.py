@@ -194,15 +194,16 @@ class NutsMachineState(NamedTuple):
         return self.ints[..., INT_SLOTS["done"]] > 0
 
 
-def _row_set(arr, n_rows: int, slot: int, value):
+def _row_set(arr, n_rows: int, slot: int, value, *, vec: bool):
     """Write one slot row of a packed array via a one-hot select.
 
     Equivalent to ``arr.at[..., slot(, :)].set(value)`` but lowers as a
     broadcast+select everywhere (static ``.at[]`` writes become ``scatter``,
     which Mosaic cannot lower inside Pallas kernels and which XLA fuses
-    worse than the select on TPU).
+    worse than the select on TPU).  ``vec=True`` for the (..., n_rows, dim)
+    vecs layout, ``False`` for the (..., n_rows) flts/ints layout.
     """
-    if arr.ndim >= 2 and arr.shape[-2] == n_rows:
+    if vec:
         # vecs layout (..., n_rows, dim); value is (..., dim)
         mask = (jnp.arange(n_rows) == slot)[:, None]
         value = jnp.asarray(value, arr.dtype)[..., None, :]
@@ -219,16 +220,16 @@ def state_with(state: NutsMachineState, *, position=None, gradient=None,
     vecs, flts, ints = state.vecs, state.flts, state.ints
     n_vec = vecs.shape[-2]
     if position is not None:
-        vecs = _row_set(vecs, n_vec, VEC_SLOTS["position"], position)
+        vecs = _row_set(vecs, n_vec, VEC_SLOTS["position"], position, vec=True)
     if gradient is not None:
-        vecs = _row_set(vecs, n_vec, VEC_SLOTS["gradient"], gradient)
+        vecs = _row_set(vecs, n_vec, VEC_SLOTS["gradient"], gradient, vec=True)
     if logp is not None:
-        flts = _row_set(flts, N_FLT, FLT_SLOTS["logp"], logp)
+        flts = _row_set(flts, N_FLT, FLT_SLOTS["logp"], logp, vec=False)
     if done is not None:
         done = jnp.asarray(done, jnp.int32)
         if done.ndim == 0 and ints.ndim > 1:
             done = jnp.broadcast_to(done, ints.shape[:-1])
-        ints = _row_set(ints, N_INT, INT_SLOTS["done"], done)
+        ints = _row_set(ints, N_INT, INT_SLOTS["done"], done, vec=False)
     return state._replace(vecs=vecs, flts=flts, ints=ints)
 
 

@@ -79,12 +79,15 @@ def main() -> None:
     t0 = time.perf_counter()
     start = 0
     warm_steps = jnp.zeros((), jnp.float32)
+    warm_sweeps = jnp.zeros((), jnp.float32)
     while start < tune:
         limit = min(chunk, tune - start)
         states, bufs = runner(states, start, limit, sched)
         warm_steps = warm_steps + jnp.sum(bufs.n_steps)
+        warm_sweeps = warm_sweeps + jnp.sum(jnp.max(bufs.n_steps, axis=0))
         start += limit
     warm_steps_i = int(warm_steps)  # syncs
+    warm_sweeps_i = int(warm_sweeps)
     t_warm = time.perf_counter() - t0
 
     # ---- posterior phase, timed (first frozen call = compile, excluded)
@@ -114,6 +117,8 @@ def main() -> None:
             "wall_s": round(t_warm, 3),
             "grads": warm_steps_i,
             "grads_per_s": round(warm_steps_i / t_warm, 1),
+            "fleet_sweeps": warm_sweeps_i,
+            "ms_per_sweep": round(1e3 * t_warm / max(warm_sweeps_i, 1), 4),
         },
         "posterior": {
             "wall_s": round(t_post, 3),

@@ -44,6 +44,7 @@ import jax.numpy as jnp
 
 from ..model import ModelDef
 from ..ops import row_write
+from ..ops.spellings import mosaic_spellings
 from .adapt import Schedule
 from .nuts import NutsConfig, init_buffers, machine_step, start_draw
 from .state import NutsMachineState, state_with
@@ -135,7 +136,7 @@ def make_megakernel_chunk_runner(
         def logp_and_grad(x, adapt):
             return lg_conv(x, *const_vals)
 
-        with row_write.force_mode("select"):
+        with row_write.force_mode("select"), mosaic_spellings():
             state = jax.tree_util.tree_unflatten(
                 state_def, [r[:] for r in state_refs]
             )

@@ -59,6 +59,7 @@ from .state import (
     tree_where,
 )
 from ..ops.row_write import masked_row_write, row_read
+from ..ops.spellings import mosaic
 from ..transforms.flow import FlowConfig, FlowParams, init_flow_params
 
 
@@ -355,21 +356,24 @@ def init_buffers(cfg: NutsConfig, chunk_len: int, dim: int, dtype,
 def _w(mask, new, old):
     """Masked select broadcasting a boolean over trailing dims.
 
-    The rank expansion happens on an i32 copy of the mask: Mosaic cannot
-    reshape i1 vectors (minor-dim insertion is 32-bit only), and XLA fuses
-    the round trip away.
+    Under :func:`mosaic` spellings the rank expansion happens on an i32 copy
+    of the mask (Mosaic cannot reshape i1 vectors) and boolean DATA is
+    selected in logical form (boolean selects lower through i8 truncations
+    Mosaic rejects).  The default XLA spelling is a plain ``jnp.where``.
     """
     new = jnp.asarray(new)
     m = jnp.asarray(mask)
+    if mosaic():
+        if m.ndim < new.ndim:
+            m32 = m.astype(jnp.int32).reshape(
+                m.shape + (1,) * (new.ndim - m.ndim)
+            )
+            m = m32 != 0
+        if new.dtype == jnp.bool_:
+            return (m & new) | (~m & jnp.asarray(old))
+        return jnp.where(m, new, old)
     if m.ndim < new.ndim:
-        m32 = m.astype(jnp.int32).reshape(
-            m.shape + (1,) * (new.ndim - m.ndim)
-        )
-        m = m32 != 0
-    if new.dtype == jnp.bool_:
-        # select over boolean DATA lowers through i8 extensions/truncations
-        # Mosaic rejects; the logical form is identical and fuses the same
-        return (m & new) | (~m & jnp.asarray(old))
+        m = m.reshape(m.shape + (1,) * (new.ndim - m.ndim))
     return jnp.where(m, new, old)
 
 
@@ -567,18 +571,21 @@ def init_machine_state(
 
 
 def _any(x) -> jax.Array:
-    """Reduce-any via an i32 sum: Mosaic lowers boolean-vector reductions
-    through i8 truncations it cannot compile, while an i32 sum+compare
-    lowers everywhere and XLA fuses it identically."""
-    return jnp.sum(jnp.where(x, 1, 0)) > 0
+    """Reduce-any.  Mosaic spelling: i32 sum+compare (Mosaic lowers
+    boolean-vector reductions through i8 truncations it cannot compile).
+    XLA spelling: plain ``jnp.any``."""
+    if mosaic():
+        return jnp.sum(jnp.where(x, 1, 0)) > 0
+    return jnp.any(x)
 
 
 def _vdot(a, b):
-    """Vector dot as multiply+sum: identical math to ``jnp.dot`` for [dim]
-    vectors, but lowers as a VPU reduce in Mosaic (vmapped ``dot_general``
-    over the kernel's chain tile produces dimension numbers Mosaic cannot
-    parse, and a dim~100 vector dot has no use for the MXU anyway)."""
-    return jnp.sum(a * b, axis=-1)
+    """Vector dot.  Mosaic spelling: multiply+sum (a VPU reduce; vmapped
+    ``dot_general`` over the kernel's chain tile produces dimension numbers
+    Mosaic cannot parse).  XLA spelling: ``jnp.dot``."""
+    if mosaic():
+        return jnp.sum(a * b, axis=-1)
+    return jnp.dot(a, b)
 
 
 def _turn(rho, v_a, v_b):
@@ -742,7 +749,7 @@ def machine_step(
     # Treating the unintegrable step as a (recoverable) divergence ends the
     # draw after one leapfrog, matching the reference's recoverable-logp-
     # error semantics (``LogpError::is_recoverable``, src/pymc.rs:166-181).
-    stagnant = ~_any(z_new != z_e)
+    stagnant = ~_any(z_new != z_e) if mosaic() else jnp.all(z_new == z_e)
     div_leaf = (~finite) | (e_err > cfg.max_energy_error) | stagnant
     lw = jnp.where(div_leaf, -jnp.inf, -e_err)
     acc = jnp.where(finite, jnp.exp(jnp.minimum(jnp.zeros((), dtype), -e_err)), 0.0)
@@ -817,7 +824,10 @@ def machine_step(
         slot_mask = (slots < top_after_push) & (slots >= top_after_push - tz)
         rho_ab = rho_sub_new[None, :] - ckpt_s        # [D, dim]
         d_a = jnp.sum(rho_ab * turn_velocity_rows(cfg, s.adapt, ckpt_p), axis=1)
-        d_b = jnp.sum(rho_ab * v_new[None, :], axis=1)
+        d_b = (
+            jnp.sum(rho_ab * v_new[None, :], axis=1)
+            if mosaic() else rho_ab @ v_new
+        )
         turn_vec = (d_a <= 0) | (d_b <= 0)
         turning_here = _any(turn_vec & slot_mask)
         turning_sub_mid = in_turning_sub | (even & turning_here)
@@ -930,8 +940,8 @@ def machine_step(
         fisher_dist = jnp.mean(jnp.square(prop_z + prop_g))
     else:
         fisher_dist = jnp.zeros((), dtype)
-    # assemble the stat row by slot position with one stack (a per-slot
-    # ``.at[].set`` would lower as scatter, which Mosaic cannot express)
+    # stat row assembled by slot position; Mosaic spelling uses one stack
+    # (per-slot ``.at[].set`` lowers as scatter, which Mosaic cannot express)
     _slot_values = {
         "logp": prop_logp,
         "energy": prop_energy,
@@ -945,10 +955,17 @@ def machine_step(
         "index_in_trajectory": prop_idx,
         "fisher_distance": fisher_dist,
     }
-    _rows = [jnp.zeros((), dtype)] * N_SCALAR_SLOTS
-    for name, value in _slot_values.items():
-        _rows[SCALAR_SLOTS[name]] = jnp.asarray(value).astype(dtype)
-    scalar_row = jnp.stack(_rows)
+    if mosaic():
+        _rows = [jnp.zeros((), dtype)] * N_SCALAR_SLOTS
+        for name, value in _slot_values.items():
+            _rows[SCALAR_SLOTS[name]] = jnp.asarray(value).astype(dtype)
+        scalar_row = jnp.stack(_rows)
+    else:
+        scalar_row = jnp.zeros((N_SCALAR_SLOTS,), dtype)
+        for name, value in _slot_values.items():
+            scalar_row = scalar_row.at[SCALAR_SLOTS[name]].set(
+                jnp.asarray(value).astype(dtype)
+            )
     bufs = ChunkBuffers(
         position=write(bufs.position, prop_z),
         scalars=write(bufs.scalars, scalar_row),

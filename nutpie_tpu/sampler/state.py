@@ -23,6 +23,8 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 
+from ..ops.spellings import mosaic
+
 
 class DualAvgState(NamedTuple):
     """Nesterov dual averaging state (Hoffman & Gelman 2014, sec 3.2.1)."""
@@ -195,23 +197,28 @@ class NutsMachineState(NamedTuple):
 
 
 def _row_set(arr, n_rows: int, slot: int, value, *, vec: bool):
-    """Write one slot row of a packed array via a one-hot select.
+    """Write one slot row of a packed array.
 
-    Equivalent to ``arr.at[..., slot(, :)].set(value)`` but lowers as a
-    broadcast+select everywhere (static ``.at[]`` writes become ``scatter``,
-    which Mosaic cannot lower inside Pallas kernels and which XLA fuses
-    worse than the select on TPU).  ``vec=True`` for the (..., n_rows, dim)
-    vecs layout, ``False`` for the (..., n_rows) flts/ints layout.
+    Mosaic spelling: a one-hot broadcast+select (static ``.at[]`` writes
+    become ``scatter``, which Mosaic cannot lower inside Pallas kernels).
+    XLA spelling: plain ``arr.at[..., slot(, :)].set(value)``.  ``vec=True``
+    for the (..., n_rows, dim) vecs layout, ``False`` for the (..., n_rows)
+    flts/ints layout.
     """
+    if mosaic():
+        if vec:
+            # vecs layout (..., n_rows, dim); value is (..., dim)
+            mask = (jnp.arange(n_rows) == slot)[:, None]
+            value = jnp.asarray(value, arr.dtype)[..., None, :]
+        else:
+            # flts/ints layout (..., n_rows); value is (...,)
+            mask = jnp.arange(n_rows) == slot
+            value = jnp.asarray(value, arr.dtype)[..., None]
+        return jnp.where(mask, value, arr)
+    value = jnp.asarray(value, arr.dtype)
     if vec:
-        # vecs layout (..., n_rows, dim); value is (..., dim)
-        mask = (jnp.arange(n_rows) == slot)[:, None]
-        value = jnp.asarray(value, arr.dtype)[..., None, :]
-    else:
-        # flts/ints layout (..., n_rows); value is (...,)
-        mask = jnp.arange(n_rows) == slot
-        value = jnp.asarray(value, arr.dtype)[..., None]
-    return jnp.where(mask, value, arr)
+        return arr.at[..., slot, :].set(value)
+    return arr.at[..., slot].set(value)
 
 
 def state_with(state: NutsMachineState, *, position=None, gradient=None,
@@ -236,20 +243,28 @@ def state_with(state: NutsMachineState, *, position=None, gradient=None,
 def tree_where(pred: jax.Array, a, b):
     """Select between two pytrees with a scalar/batched boolean.
 
-    Rank expansion happens on an i32 copy of the predicate (Mosaic cannot
-    reshape i1 vectors; XLA fuses the round trip away).
+    Under Mosaic spellings the rank expansion happens on an i32 copy of the
+    predicate (Mosaic cannot reshape i1 vectors) and boolean-data selects use
+    the logical form (boolean selects lower through i8 truncations Mosaic
+    rejects).  The default XLA spelling is a plain ``jnp.where``.
     """
-    def sel(x, y):
-        p = pred
-        x = jnp.asarray(x)
-        if p.ndim and x.ndim > p.ndim:
-            p32 = p.astype(jnp.int32).reshape(
-                p.shape + (1,) * (x.ndim - p.ndim)
-            )
-            p = p32 != 0
-        if x.dtype == jnp.bool_:
-            # boolean-data select lowers through i8 trunc in Mosaic;
-            # the logical form is identical
-            return (p & x) | (~p & jnp.asarray(y))
-        return jnp.where(p, x, y)
+    if mosaic():
+        def sel(x, y):
+            p = pred
+            x = jnp.asarray(x)
+            if p.ndim and x.ndim > p.ndim:
+                p32 = p.astype(jnp.int32).reshape(
+                    p.shape + (1,) * (x.ndim - p.ndim)
+                )
+                p = p32 != 0
+            if x.dtype == jnp.bool_:
+                return (p & x) | (~p & jnp.asarray(y))
+            return jnp.where(p, x, y)
+    else:
+        def sel(x, y):
+            p = pred
+            x = jnp.asarray(x)
+            if p.ndim and x.ndim > p.ndim:
+                p = p.reshape(p.shape + (1,) * (x.ndim - p.ndim))
+            return jnp.where(p, x, y)
     return jax.tree_util.tree_map(sel, a, b)

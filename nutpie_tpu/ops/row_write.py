@@ -15,16 +15,19 @@ batched op (identical values, very different TPU cost/reliability):
   scatter-add -- observed at ~[2048, 64, 173] f32 on jax 0.9/axon in
   round 2), so it cannot be trusted blindly.
 - **one-hot masked select** over the buffer: O(chains*chunk*width) traffic
-  per step (the whole buffer is rewritten), but lowers reliably.  At the
-  2048-chain radon bench the dense commits are the single biggest HBM
-  consumer (~99 MB per sweep for position+stats alone).
+  per step ON PAPER (the whole buffer is rewritten), but the dense update
+  fuses into the while-loop body and double-buffers, so in practice it is
+  the FASTEST lowering on TPU as well as the only one that is correct
+  everywhere.
 
-Strategy: on TPU, PROBE the device once per process per lowering -- run a
-bench-shaped while-loop of masked row writes and compare against the numpy
-ground truth.  Preference order: flat scatter, then batched scatter, then
-select.  CPU/GPU always use batched scatter (correct everywhere off-TPU).
-``NUTPIE_TPU_ROW_WRITE`` overrides (``flat`` / ``scatter`` / ``select``)
-for benchmarking.
+Strategy: TPU uses the one-hot select.  Measured on the radon bench shape
+(2048 chains, v5e, jax 0.9/axon, round 4): select 4.34M posterior grads/s,
+batched scatter 2.90M (and it MISCOMPILES at large buffers -- see above),
+flat scatter 1.64M (XLA:TPU serializes the scatter; round 3 auto-probed it
+first and silently cost the bench 2.6x).  CPU/GPU use batched scatter
+(correct and cheap off-TPU).  ``NUTPIE_TPU_ROW_WRITE`` overrides (``flat``
+/ ``scatter`` / ``select``) for experiments; the correctness probe below
+guards any non-select choice.
 
 The public :func:`masked_row_write` has UNBATCHED semantics and carries a
 ``jax.custom_batching.custom_vmap`` rule, so the per-chain sampler code
@@ -39,9 +42,6 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 from jax import custom_batching
-
-_PROBED: dict[str, str] = {}
-
 
 # --------------------------------------------------------------- lowerings
 
@@ -173,18 +173,15 @@ def _mode() -> str:
         return "scatter"
     if backend != "tpu":
         return "scatter"
-    if backend not in _PROBED:
-        if _probe("flat"):
-            _PROBED[backend] = "flat"
-        elif _probe("scatter"):
-            _PROBED[backend] = "scatter"
-        else:
-            _PROBED[backend] = "select"
-    return _PROBED[backend]
+    # TPU: one-hot select -- the only lowering that is both correct at
+    # every shape AND fastest at bench shape (see module docstring for the
+    # measured rates; scatter lowerings serialize or miscompile on TPU)
+    return "select"
 
 
 def _use_select() -> bool:
-    """Resolve the lowering eagerly (runs the device probes on TPU)."""
+    """Resolve the lowering eagerly (kept for call sites that pin the
+    lowering choice outside a trace)."""
     return _mode() == "select"
 
 

@@ -35,19 +35,6 @@ class CompiledStanModel(CompiledModel):
         object.__setattr__(self, "coords", dict(self._coords))
         object.__setattr__(self, "dims", dict(self._dims))
         program = parse(self.code)
-        # static semantic checks that need no data: NUTS needs a
-        # real-valued unconstrained space, so tuple/complex parameters are
-        # rejected at compile time (they ARE supported in generated
-        # quantities / transformed data)
-        from .errors import StanCompileError
-
-        for decl in program.parameters:
-            if decl.type.base in ("tuple", "complex"):
-                raise StanCompileError(
-                    f"{decl.type.base!r} parameters are not supported "
-                    f"(use separate real parameters for the parts/slots)",
-                    decl.line, decl.col,
-                )
         object.__setattr__(self, "_program", program)
 
     def with_data(self, *, seed=None, **data: Any) -> "CompiledStanModel":

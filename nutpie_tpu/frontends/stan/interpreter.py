@@ -313,12 +313,26 @@ class StanInterpreter:
         for decl in program.parameters:
             base = decl.type.base
             if base in ("tuple", "complex"):
-                raise StanCompileError(
-                    f"{base!r} parameters are not supported (NUTS needs a "
-                    f"real-valued unconstrained space; use separate real "
-                    f"parameters for the parts/slots)",
-                    decl.line, decl.col,
+                # tuple/complex parameters lower to consecutive flat real
+                # slots (the reference samples them through BridgeStan's
+                # flat name parser, src/stan.rs:92-251): complex = 2 reals
+                # per element, tuple = each slot laid out recursively with
+                # its own constraint transform
+                size, fwd = self._layout_structured(decl.type, env, ctx)
+                self.params.append(
+                    dict(
+                        name=decl.name,
+                        base=base,
+                        offset=offset,
+                        size=size,
+                        forward=fwd,
+                        constrained_shape=None,
+                        row_vector=False,
+                        spec=decl.type,
+                    )
                 )
+                offset += size
+                continue
             type_dims = tuple(
                 _static_int(self.eval_expr(d, env, ctx), d, "dimension")
                 for d in decl.type.dims
@@ -405,6 +419,89 @@ class StanInterpreter:
         return array_dims + self._constrained_type_shape(base, type_dims)
 
     # ------------------------------------------------- tuple/complex support
+
+    def _layout_structured(self, spec: A.TypeSpec, env, ctx):
+        """(unconstrained size, forward) for a tuple/complex parameter spec.
+
+        Lowers structured parameters to consecutive flat real slots, the
+        way BridgeStan lays them out for the reference (its flat name
+        parser then reassembles ``pair:1`` / ``z.real`` names,
+        ``src/stan.rs:92-251``): a complex element is (real, imag), a tuple
+        is each slot laid out recursively with its own constraint
+        transform, and array dims iterate row-major OUTSIDE the element
+        layout.  ``forward(u) -> (value, log_jacobian)`` where the value
+        follows the interpreter's runtime conventions (``StanComplex`` /
+        ``StanTuple`` / nested python lists over array dims).
+        """
+        base = spec.base
+
+        def static_dims(exprs, what):
+            return tuple(
+                _static_int(self.eval_expr(d, env, ctx), d, what)
+                for d in exprs
+            )
+
+        if base not in ("tuple", "complex"):
+            # plain slot inside a tuple: the standard transform machinery
+            type_dims = static_dims(spec.dims, "dimension")
+            array_dims = static_dims(spec.array_dims, "array dimension")
+            constraints = {
+                key: self.eval_expr(expr, env, ctx)
+                for key, expr in spec.constraints.items()
+            }
+            size, fwd = make_transform(
+                base, array_dims + type_dims, constraints, type_dims
+            )
+            if base == "row_vector":
+                def fwd_rv(u, _f=fwd):
+                    v, lj = _f(u)
+                    if v.ndim == 1:
+                        v = v.reshape(1, -1)
+                    return v, lj
+                return size, fwd_rv
+            return size, fwd
+
+        array_dims = static_dims(spec.array_dims, "array dimension")
+        if base == "complex":
+            elem_size = 2
+
+            def elem_fwd(u):
+                return StanComplex(u[0], u[1]), jnp.zeros(())
+        else:
+            subs = [
+                self._layout_structured(s, env, ctx)
+                for s in spec.tuple_slots
+            ]
+            elem_size = sum(sz for sz, _ in subs)
+
+            def elem_fwd(u):
+                vals, lj, off = [], jnp.zeros(()), 0
+                for sz, f in subs:
+                    v, l_ = f(u[off:off + sz])
+                    vals.append(v)
+                    lj = lj + l_
+                    off += sz
+                return StanTuple(vals), lj
+
+        def build(u, dims):
+            if not dims:
+                return elem_fwd(u)
+            stride = u.shape[0] // dims[0]
+            vals, lj = [], jnp.zeros(())
+            for i in range(dims[0]):
+                v, l_ = build(u[i * stride:(i + 1) * stride], dims[1:])
+                vals.append(v)
+                lj = lj + l_
+            return vals, lj
+
+        total = elem_size * int(np.prod(array_dims)) if array_dims else (
+            elem_size
+        )
+
+        def forward(u):
+            return build(u, array_dims)
+
+        return total, forward
 
     def _zero_complex(self, shape):
         if not shape:
@@ -537,7 +634,10 @@ class StanInterpreter:
         self.exec_stmts(self.program.generated_quantities, env, ctx)
         out = {}
         for p in self.params:
-            out[p["name"]] = jnp.asarray(env[p["name"]])
+            if p["base"] in ("tuple", "complex"):
+                self._flatten_value(p["name"], env[p["name"]], out)
+            else:
+                out[p["name"]] = jnp.asarray(env[p["name"]])
         for decl in self.tp_decls + self.gq_decls:
             if decl.name in env:
                 value = env[decl.name]
@@ -551,6 +651,12 @@ class StanInterpreter:
         """Names/dtypes/shapes of everything expand() returns."""
         out = []
         for p in self.params:
+            if p["base"] in ("tuple", "complex"):
+                for name, dtype, shape in self._flatten_decl_meta(
+                    p["name"], p["spec"], self.base_env
+                ):
+                    out.append((name, dtype, shape, None))
+                continue
             shape = p["constrained_shape"]
             if p["row_vector"]:
                 shape = tuple(shape) + ()

@@ -10,6 +10,7 @@ from .analytic import (
     eight_schools,
     funnel,
     hierarchical_funnel,
+    student_t_funnel,
     ill_conditioned_gaussian,
     logistic_glm,
     std_normal,
@@ -20,6 +21,7 @@ __all__ = [
     "std_normal",
     "funnel",
     "hierarchical_funnel",
+    "student_t_funnel",
     "ill_conditioned_gaussian",
     "eight_schools",
     "logistic_glm",

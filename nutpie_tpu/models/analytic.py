@@ -66,6 +66,52 @@ def funnel(dim: int = 10, scale: float = 3.0) -> ModelDef:
     )
 
 
+def student_t_funnel(dim: int = 50, nu: float = 3.0,
+                     scale: float = 3.0) -> ModelDef:
+    """Heavy-tailed funnel: v ~ StudentT(nu, 0, scale);
+    x_i ~ StudentT(nu, 0, exp(v/2)).
+
+    The heavy-tail acceptance model (the regime the reference's sinh-asinh
+    ``Contract`` bijections target, ``normalizing_flow.py:1218-1408``):
+    polynomial tails in every direction PLUS funnel geometry, so both a
+    diagonal metric and a Gaussian-tailed affine flow misfit the tails.
+    ``dim`` counts the x block; ndim = dim + 1 with v first.
+    """
+
+    ndim = dim + 1
+    half = 0.5 * (nu + 1.0)
+
+    def t_logpdf_unit(z):
+        # unnormalized StudentT(nu, 0, 1) log density
+        return -half * jnp.log1p(z * z / nu)
+
+    def logp(q):
+        v = q[0]
+        x = q[1:]
+        logp_v = t_logpdf_unit(v / scale)
+        # x_i ~ StudentT(nu, 0, exp(v/2)): scale family => subtract
+        # dim * log(scale) = dim * v/2
+        logp_x = jnp.sum(t_logpdf_unit(x * jnp.exp(-0.5 * v))) - 0.5 * dim * v
+        return logp_v + logp_x
+
+    def expand(q):
+        return {"v": q[0], "x": q[1:]}
+
+    return make_model(
+        ndim,
+        logp,
+        expand_fn=expand,
+        expanded_vars=[
+            ("v", np.float64, (), None),
+            ("x", np.float64, (dim,), ("x_dim",)),
+        ],
+        param_vars=[
+            ("v", np.float64, (), None),
+            ("x", np.float64, (dim,), ("x_dim",)),
+        ],
+    )
+
+
 def hierarchical_funnel(groups: int = 8, dim: int = 8,
                         scale: float = 1.5) -> ModelDef:
     """Hierarchical funnel (BASELINE benchmark config "hierarchical funnel

@@ -67,6 +67,18 @@ class FlowConfig:
     # (heavy/light tail control; reference Contract bijections,
     # ``normalizing_flow.py:1218-1408``)
     tails: bool = False
+    # sinh-asinh tail transformer INSIDE each coupling: the conditioner
+    # additionally predicts per-coordinate (skew s, log tailweight log t)
+    # for the transformed half, ``x = sinh(t * asinh(y*e^ls + shift) + s)``.
+    # Tail weight then varies with the conditioned-on coordinates -- the
+    # per-coupling analog of the reference's ``Contract``/``Contract2``
+    # family (``normalizing_flow.py:1218-1408``), which the terminal
+    # ``tails`` layer (one global (s, t) pair per coordinate) cannot
+    # express.  Identity at init (zero output weights => s=0, t=1).
+    coupling_tails: bool = False
+    # bound on |log t| and |s| in the coupling tail transformer; t in
+    # [e^-cap, e^cap] keeps sinh growth ~|u|^t stable in f32
+    tail_cap: float = 0.75
     # flow extension (reference extend_flow, normalizing_flow.py:2016-2238):
     # this share of the trailing coupling layers is RETARGETED at the end of
     # the diagonal phase -- their masks are reassigned so the coordinates
@@ -123,8 +135,8 @@ class FlowParams(NamedTuple):
     w1u: jax.Array        # [layers, dim, rank]   (empty when dense)
     w1v: jax.Array        # [layers, rank, hidden]
     b1: jax.Array         # [layers, hidden]
-    w2: jax.Array         # [layers, hidden, 2*dim]
-    b2: jax.Array         # [layers, 2*dim]
+    w2: jax.Array         # [layers, hidden, k*dim], k = _coupling_width(cfg)
+    b2: jax.Array         # [layers, k*dim]
     hh_v: jax.Array       # [n_householder, dim] reflection vectors
     tail_s: jax.Array     # [dim] sinh-asinh skew (0 = none)
     tail_log_t: jax.Array # [dim] sinh-asinh log tailweight (0 = identity)
@@ -174,8 +186,11 @@ def init_flow_params(cfg: FlowConfig, dim: int, key, dtype) -> FlowParams:
         w1v=w1v,
         b1=jnp.zeros((cfg.num_layers, cfg.hidden), dtype),
         # zero output layer -> the couplings start as exact identities
-        w2=jnp.zeros((cfg.num_layers, cfg.hidden, 2 * dim), dtype),
-        b2=jnp.zeros((cfg.num_layers, 2 * dim), dtype),
+        # (shift 0, log-scale 0, and with coupling_tails s=0 / log t=0)
+        w2=jnp.zeros(
+            (cfg.num_layers, cfg.hidden, _coupling_width(cfg) * dim), dtype
+        ),
+        b2=jnp.zeros((cfg.num_layers, _coupling_width(cfg) * dim), dtype),
         hh_v=hh_v,
         tail_s=jnp.zeros((dim,), dtype),
         tail_log_t=jnp.zeros((dim,), dtype),
@@ -207,6 +222,12 @@ def _tail_inverse(params: FlowParams, x: jax.Array) -> jax.Array:
     return jnp.sinh((jnp.arcsinh(x) - params.tail_s) / t)
 
 
+def _coupling_width(cfg: FlowConfig) -> int:
+    """Conditioner outputs per coordinate: (shift, log_scale) plus the
+    sinh-asinh (s, log t) heads when ``coupling_tails`` is on."""
+    return 4 if cfg.coupling_tails else 2
+
+
 def _coupling_nets(cfg: FlowConfig, params: FlowParams, layer: int,
                    masked: jax.Array):
     if cfg.factor_rank > 0:
@@ -217,8 +238,13 @@ def _coupling_nets(cfg: FlowConfig, params: FlowParams, layer: int,
     out = h @ params.w2[layer] + params.b2[layer]
     dim = params.mu.shape[0]
     shift = out[..., :dim]
-    log_scale = cfg.scale_cap * jnp.tanh(out[..., dim:] / cfg.scale_cap)
-    return shift, log_scale
+    log_scale = cfg.scale_cap * jnp.tanh(out[..., dim:2 * dim] / cfg.scale_cap)
+    if not cfg.coupling_tails:
+        return shift, log_scale, None, None
+    cap = cfg.tail_cap
+    t_s = cap * jnp.tanh(out[..., 2 * dim:3 * dim] / cap)
+    t_log_t = cap * jnp.tanh(out[..., 3 * dim:] / cap)
+    return shift, log_scale, t_s, t_log_t
 
 
 def flow_forward(cfg: FlowConfig, params: FlowParams, z: jax.Array):
@@ -232,10 +258,19 @@ def flow_forward(cfg: FlowConfig, params: FlowParams, z: jax.Array):
         sandwich = _layer_uses_dct(cfg, i)
         if sandwich:  # couple in frequency space (orthogonal: logdet 0)
             y = dct_mat @ y
-        shift, log_scale = _coupling_nets(cfg, params, i, y * m)
+        shift, log_scale, t_s, t_log_t = _coupling_nets(
+            cfg, params, i, y * m
+        )
         free = 1.0 - m
-        y = m * y + free * (y * jnp.exp(log_scale) + shift)
-        logdet = logdet + jnp.sum(free * log_scale)
+        u = y * jnp.exp(log_scale) + shift
+        ld = log_scale
+        if cfg.coupling_tails:
+            # sinh-asinh on the transformed half (per-coupling Contract)
+            a = jnp.exp(t_log_t) * jnp.arcsinh(u) + t_s
+            ld = ld + t_log_t + jnp.log(jnp.cosh(a)) - 0.5 * jnp.log1p(u * u)
+            u = jnp.sinh(a)
+        y = m * y + free * u
+        logdet = logdet + jnp.sum(free * ld)
         if sandwich:
             y = dct_mat.T @ y
         for h in range(cfg.householder):
@@ -262,9 +297,14 @@ def flow_inverse(cfg: FlowConfig, params: FlowParams, x: jax.Array):
         if sandwich:
             y = dct_mat @ y
         m = masks[i]
-        shift, log_scale = _coupling_nets(cfg, params, i, y * m)
+        shift, log_scale, t_s, t_log_t = _coupling_nets(
+            cfg, params, i, y * m
+        )
         free = 1.0 - m
-        y = m * y + free * ((y - shift) * jnp.exp(-log_scale))
+        u = y
+        if cfg.coupling_tails:
+            u = jnp.sinh((jnp.arcsinh(y) - t_s) * jnp.exp(-t_log_t))
+        y = m * y + free * ((u - shift) * jnp.exp(-log_scale))
         if sandwich:
             y = dct_mat.T @ y
     return y

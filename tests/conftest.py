@@ -32,6 +32,11 @@ def pytest_configure(config):
     config.addinivalue_line("markers", "stan: tests of the Stan frontend")
     config.addinivalue_line("markers", "flow: tests of flow adaptation")
     config.addinivalue_line("markers", "slow: long-running tests")
+    config.addinivalue_line(
+        "markers",
+        "gate: statistical acceptance gates -- re-run after any sampler/ "
+        "adaptation change (python -m pytest -m gate)",
+    )
 
 
 @pytest.fixture

@@ -14,7 +14,7 @@ from nutpie_tpu import diagnostics
 from nutpie_tpu.frontends.pyfunc import compile_model_def
 from nutpie_tpu.models import ill_conditioned_gaussian, radon, std_normal
 
-pytestmark = pytest.mark.slow
+pytestmark = [pytest.mark.slow, pytest.mark.gate]
 
 
 def test_radon_convergence_gate():

@@ -173,6 +173,8 @@ def test_flow_dct_and_factored_roundtrip():
         dict(factor_rank=3),
         dict(dct=True, factor_rank=2, tails=True, householder=1),
         dict(dct=True, extension_share=0.34),
+        dict(coupling_tails=True),
+        dict(coupling_tails=True, dct=True, factor_rank=2, tails=True),
     ):
         cfg = FlowConfig(num_layers=3, hidden=8, **kwargs)
         key = jax.random.key(11)
@@ -236,6 +238,7 @@ def test_flow_sampling_with_extended_architecture():
 
 
 @pytest.mark.slow
+@pytest.mark.gate
 def test_flow_funnel_100d_reference_gate():
     """The reference's headline flow acceptance gate (docs/nf-adapt.qmd:75-101):
     100-dimensional funnel, 2 chains, ESS > 1000 on all parameters, zero
@@ -353,6 +356,7 @@ def test_extension_mask_retargeting_unit():
 
 
 @pytest.mark.slow
+@pytest.mark.gate
 def test_flow_hierarchical_funnel_gate():
     """BASELINE config "hierarchical funnel via nf-adapt": a funnel of
     funnels (tau -> v_g -> x_gi), harder than any geometry the reference

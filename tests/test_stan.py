@@ -512,25 +512,55 @@ def test_ordered_logistic_model():
 
 
 def test_unsupported_types_precise_errors():
-    # still-unsupported types (complex containers, tuple/complex in places
-    # NUTS cannot consume) produce precise compile-time errors, not parse
-    # failures or silent mis-typing (reference: BridgeStan parses them,
-    # src/stan.rs:92-251)
+    # still-unsupported types (complex containers) produce precise
+    # compile-time errors, not parse failures or silent mis-typing
     from nutpie_tpu.frontends.stan.errors import StanCompileError
 
-    for snippet in (
-        "generated quantities { complex_vector[3] z; }",
-        "parameters { real x; complex w; } model { x ~ normal(0,1); }",
-        "parameters { real x; tuple(real, real) t; } "
-        "model { x ~ normal(0,1); }",
-    ):
-        code = "parameters { real q; } model { q ~ normal(0, 1); } "
-        if "parameters" in snippet.split("{")[0]:
-            code = snippet
-        else:
-            code = code + snippet
-        with pytest.raises(StanCompileError, match="not supported"):
-            nutpie_tpu.compile_stan_model(code=code)
+    code = ("parameters { real q; } model { q ~ normal(0, 1); } "
+            "generated quantities { complex_vector[3] z; }")
+    with pytest.raises(StanCompileError, match="not supported"):
+        nutpie_tpu.compile_stan_model(code=code)
+
+
+def test_tuple_complex_parameters():
+    """Tuple/complex PARAMETERS sample via flat real slots with per-slot
+    constraint transforms, matching BridgeStan's layout + the stanio
+    flattened naming the reference's name parser consumes
+    (src/stan.rs:92-251)."""
+    code = """
+    parameters {
+      complex z;
+      tuple(real, vector[2]) pair;
+      tuple(real<lower=0>, simplex[3]) cpair;
+      array[2] complex za;
+    }
+    model {
+      z.real ~ normal(1, 0.5);
+      z.imag ~ normal(-1, 0.5);
+      pair.1 ~ normal(2, 1);
+      pair.2 ~ normal(0, 1);
+      cpair.1 ~ lognormal(0, 0.5);
+      for (i in 1:2) {
+        za[i].real ~ normal(i, 1);
+        za[i].imag ~ normal(-i, 1);
+      }
+    }
+    """
+    model = nutpie_tpu.compile_stan_model(code=code)
+    trace = nutpie_tpu.sample(
+        model, chains=2, tune=300, draws=400, seed=4, progress_bar=False
+    )
+    post = trace.posterior
+    zr = np.asarray(post["z.real"].values)
+    zi = np.asarray(post["z.imag"].values)
+    assert abs(zr.mean() - 1) < 0.2 and abs(zi.mean() + 1) < 0.2
+    assert abs(np.asarray(post["pair:1"].values).mean() - 2) < 0.35
+    assert np.asarray(post["pair:2"].values).shape[-1] == 2
+    assert (np.asarray(post["cpair:1"].values) > 0).all()
+    simplex = np.asarray(post["cpair:2"].values)
+    np.testing.assert_allclose(simplex.sum(-1), 1.0, atol=1e-6)
+    assert abs(np.asarray(post["za.1.real"].values).mean() - 1) < 0.35
+    assert abs(np.asarray(post["za.2.imag"].values).mean() + 2) < 0.4
 
 
 def test_stan_memory_order():

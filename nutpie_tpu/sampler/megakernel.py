@@ -115,7 +115,8 @@ def make_megakernel_chunk_runner(
         logp, grad = jax.core.eval_jaxpr(_closed.jaxpr, cs, x)
         return logp, grad
 
-    def kernel(scal_ref, *refs, state_def=None, n_state=None):
+    def kernel(scal_ref, *refs, state_def=None, n_state=None,
+               squeeze_idx=frozenset()):
         chunk_start = scal_ref[0]
         limit = scal_ref[1]
         sched = Schedule(
@@ -133,12 +134,19 @@ def make_megakernel_chunk_runner(
 
         const_vals = [r[:] for r in const_refs]
 
+        def read_state(i, r):
+            # rank-1 [chains] leaves travel as [chains, 1] (Pallas TPU
+            # rejects rank-1 blocks smaller than the 128-lane tiling)
+            v = r[:]
+            return v[:, 0] if i in squeeze_idx else v
+
         def logp_and_grad(x, adapt):
             return lg_conv(x, *const_vals)
 
         with row_write.force_mode("select"), mosaic_spellings():
             state = jax.tree_util.tree_unflatten(
-                state_def, [r[:] for r in state_refs]
+                state_def,
+                [read_state(i, r) for i, r in enumerate(state_refs)],
             )
             mom = mom_ref[:]
             jit_u = jit_ref[:]
@@ -171,10 +179,10 @@ def make_megakernel_chunk_runner(
 
             state, bufs = jax.lax.while_loop(cond, body, (state, bufs))
 
-        for ref, leaf in zip(
+        for i, (ref, leaf) in enumerate(zip(
             out_state_refs, jax.tree_util.tree_leaves(state)
-        ):
-            ref[:] = leaf
+        )):
+            ref[:] = leaf[:, None] if i in squeeze_idx else leaf
         pos_ref[:] = bufs.position
         scalars_ref[:] = bufs.scalars
 
@@ -201,6 +209,16 @@ def make_megakernel_chunk_runner(
             rng_key=jax.vmap(jax.random.key_data)(states.rng_key)
         )
         leaves, state_def = jax.tree_util.tree_flatten(raw)
+        # rank-1 [chains] leaves (per-chain adaptation scalars) travel as
+        # [chains, 1]: Pallas TPU rejects rank-1 blocks below the 128-lane
+        # tiling, while (tile, 1) rank-2 blocks lower everywhere
+        squeeze_idx = frozenset(
+            i for i, x in enumerate(leaves) if x.ndim == 1
+        )
+        leaves = [
+            x[:, None] if i in squeeze_idx else x
+            for i, x in enumerate(leaves)
+        ]
         n_state = len(leaves)
 
         # per-draw randoms, identical streams to run.make_chunk_runner
@@ -296,14 +314,32 @@ def make_megakernel_chunk_runner(
 
         kw = {}
         if pltpu is not None and not interpret:
-            # the whole chunk's state+buffers are VMEM-resident by design;
-            # the default 16MB scoped-vmem budget is too small at production
-            # tile/chunk shapes (v5e has 128MB VMEM per core)
+            # Scoped-VMEM budget derived from the actual per-tile residency
+            # (state + randoms + draw buffers + hoisted consts), with 3x
+            # headroom for Mosaic temporaries/double buffering, clamped to
+            # [16MB, 120MB] (v5e has 128MB VMEM per core).  The default
+            # 16MB is too small at production tile/chunk shapes;
+            # NUTPIE_MK_VMEM_MB overrides.
+            per_chain = sum(
+                int(_np.prod(x.shape[1:])) * x.dtype.itemsize for x in leaves
+            )
+            per_chain += mom_gauss.dtype.itemsize * chunk_len * (dim + 1)
+            buf_bytes = (
+                jnp.dtype(dtype).itemsize * chunk_len * (dim + _n_scalar())
+            )
+            const_bytes = sum(
+                int(_np.prod(c.shape)) * c.dtype.itemsize for c in lg_consts
+            )
+            need = tile * (2 * per_chain + buf_bytes) * 3 + const_bytes * 2
+            env_mb = _os.environ.get("NUTPIE_MK_VMEM_MB")
+            vmem = (int(env_mb) * 1024 * 1024 if env_mb else
+                    max(16 << 20, min(int(need), 120 << 20)))
             kw["compiler_params"] = pltpu.CompilerParams(
-                vmem_limit_bytes=100 * 1024 * 1024,
+                vmem_limit_bytes=vmem,
             )
         outs = pl.pallas_call(
-            partial(kernel, state_def=state_def, n_state=n_state),
+            partial(kernel, state_def=state_def, n_state=n_state,
+                    squeeze_idx=squeeze_idx),
             grid=grid,
             in_specs=in_specs,
             out_specs=out_specs,
@@ -313,7 +349,10 @@ def make_megakernel_chunk_runner(
             **kw,
         )(scal, *lg_consts, *leaves, mom_gauss, jitter_us)
 
-        new_leaves = outs[:n_state]
+        new_leaves = [
+            o[:, 0] if i in squeeze_idx else o
+            for i, o in enumerate(outs[:n_state])
+        ]
         pos, scalars = outs[n_state], outs[n_state + 1]
         new_raw = jax.tree_util.tree_unflatten(state_def, new_leaves)
         new_states = new_raw._replace(

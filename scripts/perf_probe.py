@@ -76,19 +76,31 @@ def main() -> None:
     s, b = runner(states_c, 0, chunk, sched)
     jax.block_until_ready(b.position)
 
+    use_cap = os.environ.get("NUTPIE_PROBE_DEPTH_CAP", "0") == "1"
+    from nutpie_tpu.sampler.run import fleet_depth_cap
+
     t0 = time.perf_counter()
     start = 0
     warm_steps = jnp.zeros((), jnp.float32)
     warm_sweeps = jnp.zeros((), jnp.float32)
+    chunk_sweeps = []  # per-chunk fleet sweep counts (device scalars)
+    depth_cap = None
+    freeze_start = tune - int(cfg.adapt.freeze_share * tune)
     while start < tune:
         limit = min(chunk, tune - start)
-        states, bufs = runner(states, start, limit, sched)
+        sched_i = make_schedule(cfg.adapt, tune, depth_cap)
+        states, bufs = runner(states, start, limit, sched_i)
+        if use_cap and start + limit <= freeze_start:
+            depth_cap = fleet_depth_cap(cfg, bufs, limit)
         warm_steps = warm_steps + jnp.sum(bufs.n_steps)
-        warm_sweeps = warm_sweeps + jnp.sum(jnp.max(bufs.n_steps, axis=0))
+        sw = jnp.sum(jnp.max(bufs.n_steps, axis=0))
+        chunk_sweeps.append(sw)
+        warm_sweeps = warm_sweeps + sw
         start += limit
     warm_steps_i = int(warm_steps)  # syncs
     warm_sweeps_i = int(warm_sweeps)
     t_warm = time.perf_counter() - t0
+    chunk_sweeps = [int(s) for s in chunk_sweeps]
 
     # ---- posterior phase, timed (first frozen call = compile, excluded)
     s2 = jax.tree_util.tree_map(jnp.copy, states)
@@ -119,6 +131,8 @@ def main() -> None:
             "grads_per_s": round(warm_steps_i / t_warm, 1),
             "fleet_sweeps": warm_sweeps_i,
             "ms_per_sweep": round(1e3 * t_warm / max(warm_sweeps_i, 1), 4),
+            "chunk_sweeps": chunk_sweeps,
+            "depth_cap_updates": use_cap,
         },
         "posterior": {
             "wall_s": round(t_post, 3),

@@ -141,10 +141,13 @@ def test_resume_into_zarr(tmp_path):
     x_full = read_zarr_array(Path(store_full.path), "posterior/x")
     x_res = read_zarr_array(Path(store.path), "posterior/x")
     assert x_res.shape == x_full.shape
-    np.testing.assert_allclose(x_res, x_full, rtol=1e-6)
+    # BIT-exact: the resumed run recomputes the same deterministic draws,
+    # so moving the chunk boundary (resume mid-chunk) must not perturb a
+    # single stored byte of the decoded arrays
+    np.testing.assert_array_equal(x_res, x_full)
     w_full = read_zarr_array(Path(store_full.path), "warmup_posterior/x")
     w_res = read_zarr_array(Path(store.path), "warmup_posterior/x")
-    np.testing.assert_allclose(w_res, w_full, rtol=1e-6)
+    np.testing.assert_array_equal(w_res, w_full)
 
 
 def test_zarr_spec_conformance_and_string_payloads(tmp_path):
@@ -221,3 +224,93 @@ def test_zarr_store_backed_abort_partial(tmp_path):
     x = np.asarray(trace.posterior["x"].values)
     assert 0 < x.shape[1] < 100_000
     assert np.isfinite(x).all()
+
+
+def test_zarr_spec_checker_edge_cases():
+    """The independent spec checker covers the v2 metadata surface the
+    image-local substitute for ``xr.open_datatree`` parity needs
+    (reference ``sample.py:615-627``): F-order chunks decode with Fortran
+    semantics, unsupported ``filters`` are rejected, missing required keys
+    are rejected, and 0-d arrays decode."""
+    import json as _json
+    import zlib as _zlib
+
+    from zarr_spec import SpecError, decode_array, validate_array_meta
+
+    import pytest as _pytest
+
+    def meta(**over):
+        doc = {
+            "zarr_format": 2, "shape": [2, 3], "chunks": [2, 3],
+            "dtype": "<f8", "compressor": {"id": "zlib", "level": 1},
+            "fill_value": 0.0, "order": "C", "filters": None,
+        }
+        doc.update(over)
+        return doc
+
+    # F-order chunk bytes decode transposed relative to C
+    data = np.arange(6, dtype="<f8").reshape(2, 3)
+    store = {
+        "a/.zarray": _json.dumps(meta(order="F")).encode(),
+        "a/0.0": _zlib.compress(data.tobytes(order="F")),
+    }
+    np.testing.assert_array_equal(decode_array(store, "a"), data)
+    # the same bytes under order C decode DIFFERENTLY (sanity of the check)
+    store_c = {
+        "a/.zarray": _json.dumps(meta(order="C")).encode(),
+        "a/0.0": _zlib.compress(data.tobytes(order="F")),
+    }
+    assert not np.array_equal(decode_array(store_c, "a"), data)
+
+    # non-empty filters rejected (the checker implements no codecs)
+    with _pytest.raises(SpecError, match="filters"):
+        validate_array_meta(meta(filters=[{"id": "vlen-utf8"}]), "a")
+    # missing required key rejected
+    bad = meta()
+    del bad["fill_value"]
+    with _pytest.raises(SpecError, match="missing required"):
+        validate_array_meta(bad, "a")
+    # wrong zarr_format rejected
+    with _pytest.raises(SpecError, match="zarr_format"):
+        validate_array_meta(meta(zarr_format=3), "a")
+
+    # 0-d array decodes (empty shape/chunks lists, one chunk key "0"... the
+    # v2 spec stores the single chunk of a 0-d array under key "0")
+    zero = {
+        "z/.zarray": _json.dumps(meta(shape=[], chunks=[])).encode(),
+    }
+    # chunks must match shape rank; for 0-d the chunk list is empty and the
+    # fill value is returned when no chunk is present
+    out = decode_array(zero, "z")
+    assert out.shape == () and out == 0.0
+
+
+def test_divergence_message_truncation_boundary(tmp_path):
+    """String stats round-trip through the sink at the 128-char fixed
+    width (storage/sink.py:_STRING_WIDTH): 127/128-char messages survive
+    exactly, 129-char messages truncate to 128."""
+    from zarr_spec import validate_store
+
+    from nutpie_tpu.storage import LocalStore
+    from nutpie_tpu.storage.sink import _STRING_WIDTH, ZarrTraceSink
+
+    assert _STRING_WIDTH == 128
+    msgs = np.array(
+        [["a" * 127, "b" * 128, "c" * 129, ""]], dtype=object
+    )  # [1 chain, 4 draws]
+    chunk = {
+        "expanded": {"x": np.zeros((1, 4, 2))},
+        "stats": {"divergence_message": msgs},
+    }
+    store = LocalStore(str(tmp_path / "m.zarr"))
+    sink = ZarrTraceSink(store, n_chains=1, num_tune=0, num_draws=4,
+                         save_warmup=False, chunk_draws=3)
+    sink.append_chunk(chunk, 0, {}, {})
+    sink.finalize(4)
+    arrays = validate_store(store.path)
+    got = arrays["sample_stats/divergence_message"]
+    assert got.dtype == np.dtype("<U128")
+    assert got[0, 0] == "a" * 127
+    assert got[0, 1] == "b" * 128
+    assert got[0, 2] == "c" * 128  # truncated at the fixed width
+    assert got[0, 3] == ""

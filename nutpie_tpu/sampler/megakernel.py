@@ -71,12 +71,18 @@ def make_megakernel_chunk_runner(
     unroll: int = 1,
     interpret: bool = False,
     pool_step_size: bool = False,
+    adapt_frozen: bool = True,
+    pool_mass_matrix: bool = False,
 ):
-    """Build the jitted megakernel chunk runner (post-warmup, adapt frozen).
+    """Build the jitted megakernel chunk runner.
 
-    Same call signature and semantics as
-    ``run.make_chunk_runner(..., adapt_frozen=True, flow_train=False)``:
-    ``run_chunk(states, chunk_start, limit, sched) -> (states, bufs)``.
+    Same call signature and semantics as ``run.make_chunk_runner(...,
+    flow_train=False)``: ``run_chunk(states, chunk_start, limit, sched) ->
+    (states, bufs)``.  ``adapt_frozen=False`` compiles the per-draw diag
+    adaptation (Welford mass-matrix accumulators + dual averaging --
+    elementwise, VMEM-resident) INTO the kernel; the cross-chain stages
+    (pooling collectives, trapped-chain rescue) stay in XLA at chunk
+    boundaries, exactly as in ``run.make_chunk_runner``.
     """
     if not supports(cfg):
         raise ValueError("megakernel does not support this configuration")
@@ -158,7 +164,8 @@ def make_megakernel_chunk_runner(
                 state, mom[:, 0], jit_u[:, 0]
             )
             step = jax.vmap(
-                partial(machine_step, cfg, logp_and_grad, adapt_frozen=True),
+                partial(machine_step, cfg, logp_and_grad,
+                        adapt_frozen=adapt_frozen),
                 in_axes=(None, 0, 0, None, None, 0, 0),
             )
 
@@ -195,13 +202,14 @@ def make_megakernel_chunk_runner(
             )
         dim = states.position.shape[-1]
 
-        if pool_step_size:
+        if pool_step_size or pool_mass_matrix:
             # cross-chain pooling is a chunk-boundary collective; it runs in
             # XLA outside the kernel, exactly as in run.make_chunk_runner
             from .adapt import pool_adapt_state
 
             states = states._replace(adapt=pool_adapt_state(
-                states.adapt, pool_mass=False, pool_step=True,
+                states.adapt, pool_mass=pool_mass_matrix,
+                pool_step=pool_step_size,
             ))
 
         # raw key data: typed-key primitives do not lower in Mosaic
@@ -358,6 +366,13 @@ def make_megakernel_chunk_runner(
         new_states = new_raw._replace(
             rng_key=jax.vmap(jax.random.wrap_key_data)(new_raw.rng_key)
         )
+        if not adapt_frozen:
+            # cross-chain rescue collective, shared with the XLA runner
+            from .run import rescue_trapped
+
+            new_states = rescue_trapped(
+                new_states, chunk_start, limit, sched
+            )
         bufs = init_buffers(cfg, chunk_len, dim, dtype, n_chains=n_chains)
         bufs = bufs._replace(position=pos, scalars=scalars)
         return new_states, bufs

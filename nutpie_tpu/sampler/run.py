@@ -280,6 +280,47 @@ def fleet_depth_cap(cfg: NutsConfig, bufs, limit) -> jax.Array:
     return jnp.clip(cap, 4, cfg.maxdepth)
 
 
+def rescue_trapped(states: NutsMachineState, chunk_start, limit,
+                   sched: Schedule) -> NutsMachineState:
+    """Trapped-chain rescue (warmup chunk boundaries only).
+
+    A chain initialized into a pathologically stiff region can reach a
+    state where acceptance sits near target at eps ~1e-6 while logp is
+    ~1000 sigma worse than the fleet's -- locally self-consistent, globally
+    dead: it descends the potential at ~0.3 logp/draw from -265k and every
+    draw runs a futile maxdepth tree (1023 gradients) that all lockstep
+    chains wait out (<1% such chains stalled the 2048-chain TPU bench 25x).
+    Per-chain step-size adaptation cannot detect this -- only the fleet
+    can.  During early warmup, teleport trapped chains onto the median-logp
+    chain's state (position/gradient/step size/mass matrix); their own RNG
+    streams decorrelate them within a few draws, and warmup draws are
+    discarded anyway.  The reference has no analog (6 independent CPU
+    chains rarely hit the trap; at 2048+ lockstep chains every run does).
+    Shared by the XLA runner and the megakernel (which applies it in XLA
+    at chunk boundaries -- median/argsort are cross-chain collectives that
+    do not belong inside a chain-tiled kernel).
+    """
+    n_chains = states.logp.shape[0]
+    end = chunk_start + limit
+    in_window = (end >= 32) & (end * 4 <= sched.num_tune * 3)
+    logp = states.logp
+    med = jnp.median(logp)
+    mad = jnp.median(jnp.abs(logp - med))
+    trapped = in_window & ((med - logp) > 50.0 * (mad + 10.0))
+    donor = jnp.argsort(logp)[n_chains // 2]
+
+    def teleport(leaf):
+        donor_row = leaf[donor]
+        mask = trapped.reshape(trapped.shape + (1,) * (leaf.ndim - 1))
+        return jnp.where(mask, donor_row[None], leaf)
+
+    return states._replace(
+        vecs=teleport(states.vecs),
+        flts=teleport(states.flts),
+        adapt=jax.tree_util.tree_map(teleport, states.adapt),
+    )
+
+
 def make_chunk_runner(model: ModelDef, cfg: NutsConfig, chunk_len: int, dtype,
                       pool_mass_matrix: bool = False, flow_train: bool = True,
                       unroll: int = 1, adapt_frozen: bool = False,
@@ -375,42 +416,7 @@ def make_chunk_runner(model: ModelDef, cfg: NutsConfig, chunk_len: int, dtype,
         states, bufs = jax.lax.while_loop(cond, body, (states, bufs))
 
         if not adapt_frozen:
-            # Trapped-chain rescue (warmup only).  A chain initialized into a
-            # pathologically stiff region can reach a state where acceptance
-            # sits near target at eps ~1e-6 while logp is ~1000 sigma worse
-            # than the fleet's -- locally self-consistent, globally dead: it
-            # descends the potential at ~0.3 logp/draw from -265k and every
-            # draw runs a futile maxdepth tree (1023 gradients) that all
-            # lockstep chains wait out (<1% such chains stalled the
-            # 2048-chain TPU bench 25x).  Per-chain step-size adaptation
-            # cannot detect this -- only the fleet can.  During early warmup,
-            # teleport trapped chains onto the median-logp chain's state
-            # (position/gradient/step size/mass matrix); their own RNG
-            # streams decorrelate them within a few draws, and warmup draws
-            # are discarded anyway.  The reference has no analog (6
-            # independent CPU chains rarely hit the trap; at 2048+ lockstep
-            # chains every run does).
-            end = chunk_start + limit
-            in_window = (end >= 32) & (end * 4 <= sched.num_tune * 3)
-            logp = states.logp
-            med = jnp.median(logp)
-            mad = jnp.median(jnp.abs(logp - med))
-            trapped = in_window & ((med - logp) > 50.0 * (mad + 10.0))
-            donor = jnp.argsort(logp)[n_chains // 2]
-
-            def teleport(leaf):
-                donor_row = leaf[donor]
-                mask = trapped.reshape(
-                    trapped.shape + (1,) * (leaf.ndim - 1)
-                )
-                return jnp.where(mask, donor_row[None], leaf)
-
-            rescued_vecs = teleport(states.vecs)
-            rescued_flts = teleport(states.flts)
-            rescued_adapt = jax.tree_util.tree_map(teleport, states.adapt)
-            states = states._replace(
-                vecs=rescued_vecs, flts=rescued_flts, adapt=rescued_adapt,
-            )
+            states = rescue_trapped(states, chunk_start, limit, sched)
 
         row_ids = jnp.arange(chunk_len, dtype=jnp.int32)
         # the chunk's buffers were produced under the *current* flow; keep it

@@ -122,3 +122,54 @@ def test_onehot_radon_matches_index_radon():
         np.testing.assert_allclose(
             np.asarray(g1), np.asarray(g2), rtol=1e-7, atol=1e-9
         )
+
+
+def test_megakernel_warmup_matches_xla_runner():
+    """adapt_frozen=False compiles the per-draw diag adaptation INTO the
+    kernel; over one fresh warmup chunk the interpret-mode kernel must
+    reproduce the XLA adapting runner: exact integer decisions and Welford
+    counts, floats to rounding drift.  (One chunk only: the interpreter
+    and the monolithic XLA program FMA-contract differently, and with
+    adaptation ON the ~1e-11 per-step drift feeds back through the step
+    size each draw, compounding to ~1e-5 by chunk end and flipping a
+    discrete tree decision somewhere in chunk 2 -- chaos, not a semantic
+    difference.)"""
+    chains, tune, chunk = 8, 64, 16
+    model = radon(gather="onehot")
+    dtype = jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
+    cfg = NutsConfig(adapt=AdaptConfig(num_tune=tune))
+    sched = make_schedule(cfg.adapt, tune)
+    states, _ = init_chains(model, cfg, 7, chains, np.zeros(model.ndim), dtype)
+
+    with row_write.force_mode("select"):
+        xla_run = make_chunk_runner(model, cfg, chunk, dtype)
+        s_ref, b_ref = xla_run(_clone(states), 0, chunk, sched)
+
+    mk_run = make_megakernel_chunk_runner(
+        model, cfg, chunk, dtype, tile=4, interpret=True, adapt_frozen=False
+    )
+    s_mk, b_mk = mk_run(_clone(states), 0, chunk, sched)
+
+    np.testing.assert_array_equal(
+        np.asarray(s_ref.ints), np.asarray(s_mk.ints)
+    )
+    np.testing.assert_array_equal(
+        np.asarray(b_ref.n_steps), np.asarray(b_mk.n_steps)
+    )
+    # Welford counts are semantic (which draws entered the accumulators)
+    np.testing.assert_array_equal(
+        np.asarray(s_ref.adapt.draws_cur.count),
+        np.asarray(s_mk.adapt.draws_cur.count),
+    )
+    np.testing.assert_allclose(
+        np.asarray(b_ref.position), np.asarray(b_mk.position),
+        rtol=1e-3, atol=1e-3,
+    )
+    np.testing.assert_allclose(
+        np.asarray(s_ref.adapt.inv_mass), np.asarray(s_mk.adapt.inv_mass),
+        rtol=1e-4, atol=1e-6,
+    )
+    np.testing.assert_allclose(
+        np.asarray(s_ref.adapt.da.log_step_bar),
+        np.asarray(s_mk.adapt.da.log_step_bar), rtol=1e-4, atol=1e-6,
+    )

@@ -864,8 +864,47 @@ def sample(
     of a run (chain + adaptation + RNG state snapshots, a capability the
     reference lacks).
     """
-    settings = _make_settings(sampler, adaptation, seed)
+    # Backward-compatible deprecated keyword arguments, matching the
+    # reference's shims (``/root/reference/python/nutpie/sample.py:979-1013``).
+    import warnings as _warnings
+
     updates = dict(kwargs)
+    for _old_name, _new_adaptation in [
+        ("low_rank_modified_mass_matrix", "low_rank"),
+        ("transform_adapt", "flow"),
+    ]:
+        if _old_name in updates:
+            _val = updates.pop(_old_name)
+            if _val:
+                _warnings.warn(
+                    f"`{_old_name}` is deprecated. "
+                    f"Use `adaptation='{_new_adaptation}'` instead.",
+                    FutureWarning,
+                    stacklevel=2,
+                )
+                if adaptation != "diag":
+                    raise ValueError(
+                        f"`{_old_name}` is deprecated and cannot be "
+                        f"combined with the `adaptation` argument."
+                    )
+                adaptation = _new_adaptation
+    if "use_grad_based_mass_matrix" in updates:
+        _warnings.warn(
+            "`use_grad_based_mass_matrix` is deprecated. "
+            "Use `adaptation='draw_diag'` instead of "
+            "`use_grad_based_mass_matrix=False`.",
+            FutureWarning,
+            stacklevel=2,
+        )
+        if not updates.pop("use_grad_based_mass_matrix"):
+            if adaptation not in ("diag", "draw_diag"):
+                raise ValueError(
+                    "`use_grad_based_mass_matrix=False` requires diag "
+                    "adaptation"
+                )
+            adaptation = "draw_diag"
+
+    settings = _make_settings(sampler, adaptation, seed)
     if tune is not None:
         updates["num_tune"] = tune
     if draws is not None:

@@ -338,10 +338,21 @@ def make_megakernel_chunk_runner(
             const_bytes = sum(
                 int(_np.prod(c.shape)) * c.dtype.itemsize for c in lg_consts
             )
-            need = tile * (2 * per_chain + buf_bytes) * 3 + const_bytes * 2
+            # The limit is a BUDGET, not an allocation: Mosaic's measured
+            # stack need GROWS with the budget it is given (68.4M need
+            # against a 47.6M budget, 84.4M against 78.8M at tile 128 --
+            # it spends headroom on buffering), so deriving a tight bound
+            # from residency is self-defeating.  Default to near the v5e
+            # physical 128M; the residency estimate only guards absurd
+            # tile/chunk requests with a clear early error.
+            need = tile * (2 * per_chain + buf_bytes) + const_bytes
+            if need > (120 << 20):
+                raise ValueError(
+                    f"megakernel tile residency ~{need >> 20}MB exceeds "
+                    f"VMEM; reduce tile ({tile}) or chunk ({chunk_len})"
+                )
             env_mb = _os.environ.get("NUTPIE_MK_VMEM_MB")
-            vmem = (int(env_mb) * 1024 * 1024 if env_mb else
-                    max(16 << 20, min(int(need), 120 << 20)))
+            vmem = int(env_mb) * 1024 * 1024 if env_mb else 120 << 20
             kw["compiler_params"] = pltpu.CompilerParams(
                 vmem_limit_bytes=vmem,
             )

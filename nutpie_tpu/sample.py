@@ -136,6 +136,70 @@ def _nuts_config_from_settings(
 _RUNNER_CACHE: dict = {}
 
 
+def _maybe_megakernel_runner(model: ModelDef, cfg: NutsConfig,
+                             chunk_len: int, dtype, n_chains: int,
+                             pool_step: bool, fallback):
+    """Auto-select the Pallas megakernel for post-warmup chunks.
+
+    Policy (measured on TPU v5e, radon, ``results/mk_tpu_parity*.json``):
+    the VMEM-resident kernel beats the XLA runner ~2x at small fleets
+    (512 chains: 2.17M vs 1.06M grads/s) but loses to the unroll-8 XLA
+    runner at large ones (2048 chains: 3.51M vs 4.34M) -- per-tile serial
+    grid execution stops paying once the fleet saturates the chip.  So:
+    auto-select on TPU when the config is in kernel scope
+    (``megakernel.supports``), the fleet is at or below the measured
+    crossover (1024 chains), and a supported tile divides the fleet.
+    ``NUTPIE_TPU_MEGAKERNEL=1`` forces it regardless of fleet size, ``=0``
+    disables.  The model's logp may contain ops Mosaic cannot lower
+    (batched gathers, ...), which only surfaces at compile time -- every
+    call runs under a runtime fallback to the XLA runner, and the first
+    failure disables the kernel for the rest of the run.
+    """
+    import os
+
+    flag = os.environ.get("NUTPIE_TPU_MEGAKERNEL", "auto")
+    if flag == "0":
+        return fallback
+    try:
+        if jax.default_backend() != "tpu":
+            return fallback
+    except Exception:
+        return fallback
+    from .sampler import megakernel
+
+    if not megakernel.supports(cfg):
+        return fallback
+    if flag != "1" and n_chains > 1024:  # measured crossover
+        return fallback
+    tile = next(
+        (t for t in (128, 64, 32, 16, 8) if n_chains % t == 0), None
+    )
+    if tile is None:
+        return fallback
+    try:
+        mk = megakernel.make_megakernel_chunk_runner(
+            model, cfg, chunk_len, dtype, tile=min(tile, n_chains),
+            pool_step_size=pool_step,
+        )
+    except Exception:
+        return fallback
+    status = {"failed": False}
+
+    def run(states, start, limit, sched):
+        if status["failed"]:
+            return fallback(states, start, limit, sched)
+        try:
+            return mk(states, start, limit, sched)
+        except Exception:
+            # Mosaic compile/runtime failure: the kernel never executed
+            # (jit compiles before running), so `states` is intact for the
+            # XLA runner
+            status["failed"] = True
+            return fallback(states, start, limit, sched)
+
+    return run
+
+
 def _cached_chunk_runner(model: ModelDef, cfg: NutsConfig, chunk_len: int,
                          dtype, n_chains: int, pool: bool,
                          flow_train: bool = True, adapt_frozen: bool = False,
@@ -430,6 +494,11 @@ class _BackgroundSampler:
                 self._settings.pool_mass_matrix, flow_train=False,
                 pool_step=getattr(self._settings, "pool_step_size", False),
                 adapt_frozen=True,
+            )
+            runner_sampling = _maybe_megakernel_runner(
+                model, cfg, self._chunk_len, dtype, self._n_chains,
+                pool_step=getattr(self._settings, "pool_step_size", False),
+                fallback=runner_sampling,
             )
         if model.expand_needs_rng:
             # per-(chain, draw) keys so generated-quantities RNG is

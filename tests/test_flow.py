@@ -243,9 +243,15 @@ def test_flow_funnel_100d_reference_gate():
     """The reference's headline flow acceptance gate (docs/nf-adapt.qmd:75-101):
     100-dimensional funnel, 2 chains, ESS > 1000 on all parameters, zero
     divergences, mean fisher_distance < 0.1.  ~10 min on CPU."""
+    # extension_share is load-bearing for ROBUSTNESS, not the average:
+    # without it a 3-seed study (results/flow_gate_seed_study_r4.json) gave
+    # ess_v {995, 1315, 312 + 9 divergences}; retargeting the trailing two
+    # couplings at the worst-Fisher-cost coordinates (v is always among
+    # them) lifts every seed above the gate: {1395, 1113, 1199}, all 0
+    # divergences.
     model = compile_model_def(funnel(dim=101, scale=1.0)).with_transform_adapt(
         num_layers=5, hidden=32, train_steps=800, window=600,
-        learning_rate=1e-3, num_diag_updates=2,
+        learning_rate=1e-3, num_diag_updates=2, extension_share=0.4,
     )
     trace = nutpie_tpu.sample(
         model, chains=2, draws=1000, tune=1200, seed=1, progress_bar=False,

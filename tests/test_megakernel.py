@@ -173,3 +173,28 @@ def test_megakernel_warmup_matches_xla_runner():
         np.asarray(s_ref.adapt.da.log_step_bar),
         np.asarray(s_mk.adapt.da.log_step_bar), rtol=1e-4, atol=1e-6,
     )
+
+
+def test_auto_select_returns_fallback_off_tpu():
+    # sample()'s auto-selection must leave non-TPU backends on the XLA
+    # runner, and NUTPIE_TPU_MEGAKERNEL=0 must disable it everywhere
+    import os
+
+    from nutpie_tpu.sample import _maybe_megakernel_runner
+
+    cfg = NutsConfig(adapt=AdaptConfig(num_tune=10))
+    sentinel = object()
+    out = _maybe_megakernel_runner(
+        radon(gather="onehot"), cfg, 16, jnp.float32, 64,
+        pool_step=False, fallback=sentinel,
+    )
+    assert out is sentinel  # CPU backend in tests
+    os.environ["NUTPIE_TPU_MEGAKERNEL"] = "0"
+    try:
+        out = _maybe_megakernel_runner(
+            radon(gather="onehot"), cfg, 16, jnp.float32, 64,
+            pool_step=False, fallback=sentinel,
+        )
+        assert out is sentinel
+    finally:
+        del os.environ["NUTPIE_TPU_MEGAKERNEL"]

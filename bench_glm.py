@@ -77,14 +77,21 @@ def main() -> None:
             active = runner if start < TUNE else runner_frozen
             states, bufs = active(states, start, limit, sched)
             if start + limit > TUNE:
-                post.append(bufs.position[:, max(0, TUNE - start):limit])
+                # keep only the monitored columns on device: the full
+                # [10240, 700, 64] posterior plus its concatenate copy
+                # exhausts HBM on a single v5e chip (observed r4)
+                post.append(
+                    bufs.position[:, max(0, TUNE - start):limit, cols]
+                )
             n_steps = n_steps + jnp.sum(bufs.n_steps)
             divergences = divergences + jnp.sum(
                 bufs.diverging, dtype=jnp.int32
             )
             start += limit
         posterior = jnp.concatenate(post, axis=1)
-        min_ess = float(min_ess_over_columns(posterior, cols))
+        min_ess = float(min_ess_over_columns(
+            posterior, jnp.arange(cols.shape[0], dtype=jnp.int32)
+        ))
         return min_ess, int(n_steps), int(divergences)
 
     run(1)  # compile

@@ -45,20 +45,33 @@ def main() -> None:
     sched = make_schedule(cfg.adapt, tune)
 
     init_fn = make_init_fn(model, cfg, dtype)
-    runner = make_chunk_runner(
-        model, cfg, chunk, dtype, unroll=unroll,
-        pool_mass_matrix=pool, pool_step_size=pool,
-    )
     if mode == "megakernel":
         from nutpie_tpu.sampler.megakernel import make_megakernel_chunk_runner
 
+        mk_tile = int(os.environ.get("NUTPIE_MK_TILE", "64"))
+        mk_unroll = int(os.environ.get("NUTPIE_MK_UNROLL", "1"))
+        # in-kernel warmup adaptation (NUTPIE_MK_WARMUP=0 keeps the XLA
+        # adapting runner for the warmup phase)
+        if os.environ.get("NUTPIE_MK_WARMUP", "1") == "1":
+            runner = make_megakernel_chunk_runner(
+                model, cfg, chunk, dtype, tile=mk_tile, unroll=mk_unroll,
+                adapt_frozen=False, pool_mass_matrix=pool,
+                pool_step_size=pool,
+            )
+        else:
+            runner = make_chunk_runner(
+                model, cfg, chunk, dtype, unroll=unroll,
+                pool_mass_matrix=pool, pool_step_size=pool,
+            )
         frozen = make_megakernel_chunk_runner(
-            model, cfg, chunk, dtype,
-            tile=int(os.environ.get("NUTPIE_MK_TILE", "64")),
-            unroll=int(os.environ.get("NUTPIE_MK_UNROLL", "1")),
+            model, cfg, chunk, dtype, tile=mk_tile, unroll=mk_unroll,
             pool_step_size=pool,
         )
     else:
+        runner = make_chunk_runner(
+            model, cfg, chunk, dtype, unroll=unroll,
+            pool_mass_matrix=pool, pool_step_size=pool,
+        )
         frozen = make_chunk_runner(
             model, cfg, chunk, dtype, unroll=unroll, adapt_frozen=True,
             pool_step_size=pool,

@@ -450,6 +450,14 @@ def main() -> None:
     import jax
     import jax.numpy as jnp
 
+    # persistent compile cache (remote-compile tunnels take minutes per
+    # program; repeated runs of the same config then start in seconds)
+    try:
+        jax.config.update("jax_compilation_cache_dir", "/tmp/jax_tpu_cache")
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+    except Exception:
+        pass
+
     from nutpie_tpu.diagnostics_device import min_ess_over_columns
     from nutpie_tpu.models import radon
     from nutpie_tpu.sampler import NutsConfig, AdaptConfig
@@ -503,6 +511,30 @@ def main() -> None:
         [0, 85, 86, 171, 172] + list(range(1, 85, 6)), jnp.int32
     )
 
+    import jax as _jax
+
+    @_jax.jit
+    def _accum(ns_tot, div_tot, div_post, scalars, keep_from, limit):
+        # ONE dispatch per chunk for all device-side counters: eager
+        # jnp.sum/add chains cost several tunnel round trips per chunk,
+        # which at ~100 chunks dominates warmup wall (r4 finding, same
+        # class as the eager fleet_depth_cap)
+        from nutpie_tpu.sampler.nuts import SCALAR_SLOTS
+
+        n = scalars[..., SCALAR_SLOTS["n_steps"]]
+        d = scalars[..., SCALAR_SLOTS["diverging"]]
+        rows = jnp.arange(n.shape[-1])
+        in_lim = rows[None, :] < limit
+        ns_tot = ns_tot + jnp.sum(jnp.where(in_lim, n, 0.0))
+        div_tot = div_tot + jnp.sum(
+            jnp.where(in_lim, d, 0.0)
+        ).astype(jnp.int32)
+        post_rows = in_lim & (rows[None, :] >= keep_from)
+        div_post = div_post + jnp.sum(
+            jnp.where(post_rows, d, 0.0)
+        ).astype(jnp.int32)
+        return ns_tot, div_tot, div_post
+
     def run(seed):
         from nutpie_tpu.sampler.run import fleet_depth_cap
 
@@ -519,28 +551,34 @@ def main() -> None:
         divergences = jnp.zeros((), jnp.int32)
         div_posterior = jnp.zeros((), jnp.int32)
         start = 0
-        depth_cap = None
+        # static initial cap until the first fleet measurement (see
+        # NutsConfig.initial_depth_cap: the uncapped first chunk burned 78%
+        # of all warmup sweeps on one maxdepth-tree straggler); thereafter
+        # only the depth_cap field of the schedule is swapped -- it is
+        # already a device scalar, so no per-chunk host->device puts
+        sched_i = make_schedule(
+            cfg.adapt, TUNE,
+            cfg.initial_depth_cap if CHAINS >= 64 else None,
+        )
         freeze_start = TUNE - int(cfg.adapt.freeze_share * TUNE)
         while start < total:
             limit = min(CHUNK, total - start)
             active = runner if start < TUNE else runner_frozen
-            states, bufs = active(
-                states, start, limit,
-                make_schedule(cfg.adapt, TUNE, depth_cap),
-            )
+            states, bufs = active(states, start, limit, sched_i)
             if start + limit <= freeze_start:
-                depth_cap = fleet_depth_cap(cfg, bufs, limit)
+                sched_i = sched_i._replace(
+                    depth_cap=fleet_depth_cap(cfg, bufs, limit)
+                )
+            keep_from = max(0, TUNE - start)
             if start + limit > TUNE:
-                keep_from = max(0, TUNE - start)
                 # keep only the monitored columns on device (full buffers
                 # would exhaust HBM at large chains x draws)
                 post_chunks.append(bufs.position[:, keep_from:limit, cols])
-                div_posterior = div_posterior + jnp.sum(
-                    bufs.diverging[:, keep_from:limit], dtype=jnp.int32
-                )
-            n_steps_total = n_steps_total + jnp.sum(bufs.n_steps)
-            divergences = divergences + jnp.sum(
-                bufs.diverging, dtype=jnp.int32
+            n_steps_total, divergences, div_posterior = _accum(
+                n_steps_total, divergences, div_posterior, bufs.scalars,
+                jnp.asarray(keep_from if start + limit > TUNE else limit,
+                            jnp.int32),
+                jnp.asarray(limit, jnp.int32),
             )
             start += limit
         posterior = jnp.concatenate(post_chunks, axis=1)

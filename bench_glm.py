@@ -26,6 +26,12 @@ def main() -> None:
     import jax
     import jax.numpy as jnp
 
+    try:
+        jax.config.update("jax_compilation_cache_dir", "/tmp/jax_tpu_cache")
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+    except Exception:
+        pass
+
     from nutpie_tpu.diagnostics_device import min_ess_over_columns
     from nutpie_tpu.models import logistic_glm
     from nutpie_tpu.sampler import NutsConfig, AdaptConfig

@@ -572,8 +572,19 @@ class _BackgroundSampler:
 
         chunk_idx = 0
         prev_n_steps = None
-        depth_cap = None  # fleet-relative work cap (NUTS only)
         is_mclmc = self._kind == "mclmc"
+        # fleet-relative work cap (NUTS only); before the first fleet
+        # measurement exists, a static initial cap bounds the maxdepth-tree
+        # straggler tax of the first chunk (NutsConfig.initial_depth_cap).
+        # The Schedule is built ONCE and only its depth_cap field is
+        # swapped (a device scalar): rebuilding it per chunk issues fresh
+        # host->device puts whose tunnel round trips dominate warmup wall
+        # on remote topologies.
+        sched_live = make_schedule(
+            cfg.adapt, self._num_tune,
+            cfg.initial_depth_cap
+            if not is_mclmc and self._n_chains >= 64 else None,
+        )
 
         def _progress_snapshot(st):
             # small device copies that survive donation of the full state
@@ -620,8 +631,7 @@ class _BackgroundSampler:
                         runner if start < self._num_tune else runner_sampling
                     )
                     states, bufs = active_runner(
-                        states, start, limit,
-                        make_schedule(cfg.adapt, self._num_tune, depth_cap),
+                        states, start, limit, sched_live,
                     )
                     # fleet-relative work cap for the NEXT chunk, frozen at
                     # the mass-matrix freeze point (run.fleet_depth_cap).
@@ -637,7 +647,9 @@ class _BackgroundSampler:
                     ):
                         from .sampler.run import fleet_depth_cap
 
-                        depth_cap = fleet_depth_cap(cfg, bufs, limit)
+                        sched_live = sched_live._replace(
+                            depth_cap=fleet_depth_cap(cfg, bufs, limit)
+                        )
                     snap = _progress_snapshot(states)
                     jax.tree_util.tree_map(
                         lambda a: a.copy_to_host_async()

@@ -153,6 +153,15 @@ class NutsConfig:
     # min-ESS unchanged (truncated outlier trees cost less ESS than the
     # fleet time they burn).  Only engaged at >= 64 chains.
     depth_cap_factor: float = 2.0
+    # Depth cap for warmup chunks BEFORE the first fleet measurement
+    # exists (same >= 64-chain engagement as the fleet cap).  Measured on
+    # the radon bench: the first 32-draw chunk burned 32736 fleet sweeps
+    # -- exactly 1023 x 32, one straggler chain running full maxdepth-10
+    # trees every draw -- which is ~78% of ALL warmup sweeps; the fleet
+    # cap then converges to ~7.  8 allows 255-step trees (~4x the fleet
+    # median observed right after), affects only discarded early-warmup
+    # draws, and cuts the straggler's tax 4x.
+    initial_depth_cap: int = 8
     max_energy_error: float = 1000.0
     store_gradient: bool = False
     store_mass_matrix: bool = False

@@ -259,25 +259,38 @@ def init_chains(
 def fleet_depth_cap(cfg: NutsConfig, bufs, limit) -> jax.Array:
     """Fleet-relative tree-depth cap from one warmup chunk's step counts.
 
-    ``ceil(log2(8 * median steps/draw))`` clipped to ``[4, maxdepth]`` --
-    bounds any one chain's per-draw work at ~8x the fleet median (a chain
-    that genuinely needs deeper trees only hits the cap when it is an
-    outlier *relative to the fleet*; a uniformly hard geometry raises the
-    median and the cap with it).  Device scalar; feed into the next chunk's
-    :func:`make_schedule` ``depth_cap``.  Stop updating at the mass-matrix
-    freeze point so the posterior kernel is fixed.
+    ``ceil(log2(factor * median steps/draw))`` clipped to ``[4, maxdepth]``
+    -- bounds any one chain's per-draw work at ~factor x the fleet median
+    (a chain that genuinely needs deeper trees only hits the cap when it is
+    an outlier *relative to the fleet*; a uniformly hard geometry raises
+    the median and the cap with it).  Device scalar; feed into the next
+    chunk's :func:`make_schedule` ``depth_cap``.  Stop updating at the
+    mass-matrix freeze point so the posterior kernel is fixed.
+
+    JITTED: called once per warmup chunk from the host loop; the eager
+    form dispatched nanmedian op-by-op through the device tunnel and cost
+    MORE wall per chunk than the sampling itself (measured r4: warmup wall
+    pinned at ~28s across a 2.4x sweep-count change).
     """
+    return _fleet_depth_cap_jit(
+        float(cfg.depth_cap_factor), int(cfg.maxdepth),
+        bufs.scalars, jnp.asarray(limit, jnp.int32),
+    )
+
+
+@partial(jax.jit, static_argnums=(0, 1))
+def _fleet_depth_cap_jit(factor: float, maxdepth: int, scalars, limit):
     from .nuts import SCALAR_SLOTS
 
-    ns = bufs.scalars[..., SCALAR_SLOTS["n_steps"]]
+    ns = scalars[..., SCALAR_SLOTS["n_steps"]]
     row_ok = jnp.arange(ns.shape[-1]) < limit
     ns = jnp.where(row_ok[None, :], ns, jnp.nan)
     med = jnp.nanmedian(ns)
     med = jnp.where(jnp.isfinite(med), med, 2.0 ** 30)
     cap = jnp.ceil(
-        jnp.log2(cfg.depth_cap_factor * jnp.maximum(med, 1.0))
+        jnp.log2(factor * jnp.maximum(med, 1.0))
     ).astype(jnp.int32)
-    return jnp.clip(cap, 4, cfg.maxdepth)
+    return jnp.clip(cap, 4, maxdepth)
 
 
 def rescue_trapped(states: NutsMachineState, chunk_start, limit,

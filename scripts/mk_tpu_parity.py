@@ -33,7 +33,21 @@ from nutpie_tpu.sampler.megakernel import make_megakernel_chunk_runner
 from nutpie_tpu.sampler.run import init_chains, make_chunk_runner, make_init_fn
 
 
+
+def _enable_compile_cache() -> None:
+    """Persistent XLA compile cache: compiles go through a remote helper
+    on tunneled TPU topologies (minutes per program); caching them makes
+    repeated bench/probe runs start in seconds."""
+    import jax
+
+    try:
+        jax.config.update("jax_compilation_cache_dir", "/tmp/jax_tpu_cache")
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+    except Exception:
+        pass
+
 def main() -> None:
+    _enable_compile_cache()
     ctx = jax.default_matmul_precision("highest")
     ctx.__enter__()
 

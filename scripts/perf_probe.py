@@ -27,7 +27,21 @@ from nutpie_tpu.sampler.adapt import make_schedule
 from nutpie_tpu.sampler.run import init_chains, make_chunk_runner, make_init_fn
 
 
+
+def _enable_compile_cache() -> None:
+    """Persistent XLA compile cache: compiles go through a remote helper
+    on tunneled TPU topologies (minutes per program); caching them makes
+    repeated bench/probe runs start in seconds."""
+    import jax
+
+    try:
+        jax.config.update("jax_compilation_cache_dir", "/tmp/jax_tpu_cache")
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+    except Exception:
+        pass
+
 def main() -> None:
+    _enable_compile_cache()
     ctx = jax.default_matmul_precision("highest")
     ctx.__enter__()
 
@@ -39,7 +53,11 @@ def main() -> None:
     mode = os.environ.get("NUTPIE_PROBE_MODE", "xla")
     chunk = 32
 
-    model = radon(gather="onehot" if mode == "megakernel" else "index")
+    gather = os.environ.get(
+        "NUTPIE_PROBE_GATHER",
+        "onehot" if mode == "megakernel" else "index",
+    )
+    model = radon(gather=gather)
     dtype = jnp.float32
     cfg = NutsConfig(adapt=AdaptConfig(num_tune=tune))
     sched = make_schedule(cfg.adapt, tune)
@@ -92,23 +110,33 @@ def main() -> None:
     use_cap = os.environ.get("NUTPIE_PROBE_DEPTH_CAP", "0") == "1"
     from nutpie_tpu.sampler.run import fleet_depth_cap
 
+    @jax.jit
+    def _accum(steps, sweeps, n_steps_buf):
+        # one dispatch per chunk (eager per-chunk sums cost tunnel RTTs)
+        sw = jnp.sum(jnp.max(n_steps_buf, axis=0))
+        return steps + jnp.sum(n_steps_buf), sweeps + sw, sw
+
     t0 = time.perf_counter()
     start = 0
     warm_steps = jnp.zeros((), jnp.float32)
     warm_sweeps = jnp.zeros((), jnp.float32)
     chunk_sweeps = []  # per-chunk fleet sweep counts (device scalars)
-    depth_cap = None
+    # depth_cap stays a DEVICE scalar; rebuilding the whole Schedule per
+    # chunk issues fresh host->device puts each time (tunnel RTTs dominate)
+    depth_cap = cfg.initial_depth_cap if (use_cap and chains >= 64) else None
+    sched_i = make_schedule(cfg.adapt, tune, depth_cap)
     freeze_start = tune - int(cfg.adapt.freeze_share * tune)
     while start < tune:
         limit = min(chunk, tune - start)
-        sched_i = make_schedule(cfg.adapt, tune, depth_cap)
         states, bufs = runner(states, start, limit, sched_i)
         if use_cap and start + limit <= freeze_start:
-            depth_cap = fleet_depth_cap(cfg, bufs, limit)
-        warm_steps = warm_steps + jnp.sum(bufs.n_steps)
-        sw = jnp.sum(jnp.max(bufs.n_steps, axis=0))
+            sched_i = sched_i._replace(
+                depth_cap=fleet_depth_cap(cfg, bufs, limit)
+            )
+        warm_steps, warm_sweeps, sw = _accum(
+            warm_steps, warm_sweeps, bufs.n_steps
+        )
         chunk_sweeps.append(sw)
-        warm_sweeps = warm_sweeps + sw
         start += limit
     warm_steps_i = int(warm_steps)  # syncs
     warm_sweeps_i = int(warm_sweeps)
@@ -126,8 +154,9 @@ def main() -> None:
     post_sweeps = jnp.zeros((), jnp.float32)
     for i in range(post_chunks):
         states_p, bufs = frozen(states_p, tune + i * chunk, chunk, sched)
-        post_steps = post_steps + jnp.sum(bufs.n_steps)
-        post_sweeps = post_sweeps + jnp.sum(jnp.max(bufs.n_steps, axis=0))
+        post_steps, post_sweeps, _sw = _accum(
+            post_steps, post_sweeps, bufs.n_steps
+        )
     post_steps_i = int(post_steps)
     post_sweeps_i = int(post_sweeps)
     t_post = time.perf_counter() - t0

@@ -262,8 +262,16 @@ def logistic_glm(
 
     def logp(beta):
         logits = Xj @ beta.astype(Xj.dtype)
-        # sum(y*logits - log1p(exp(logits))) with stable softplus
-        lp = jnp.sum(yj * logits - jax.nn.softplus(logits))
+        # sum(y*logits - softplus(logits)); the stable softplus is written
+        # SELECT-FREE as (x + |x|)/2 + log1p(exp(-|x|)) with |x| =
+        # sqrt(x^2 + tiny) -- identical values to jax.nn.softplus (~1e-15
+        # at x~0), but both jax.nn.softplus and max/abs lower their
+        # GRADIENTS through boolean selects whose i1 layouts Mosaic cannot
+        # transpose, and this logp must compile inside the Pallas
+        # megakernel (forward and backward)
+        ax = jnp.sqrt(logits * logits + 1e-30)
+        softplus = 0.5 * (logits + ax) + jnp.log1p(jnp.exp(-ax))
+        lp = jnp.sum(yj * logits - softplus)
         lp = lp.astype(beta.dtype) - 0.5 * jnp.sum(beta * beta)
         return lp
 

@@ -26,9 +26,14 @@ Design notes:
   fleet -- a tail benefit the monolithic XLA loop cannot express.
 - The model logp must itself be Mosaic-lowerable (no gather/scatter): use
   e.g. ``models.radon(gather="onehot")``, where county lookups are matmuls.
-- v1 scope = the post-warmup bench configuration: diag metric, exact-normal
-  kinetic, frozen adaptation, no flow/low-rank/divergence-location buffers.
-  The warmup path keeps the XLA runner.
+- Scope = diag metric, exact-normal kinetic, no flow/low-rank/divergence-
+  location buffers.  Both phases are covered: ``adapt_frozen=False``
+  compiles the per-draw diag adaptation (Welford + dual averaging,
+  elementwise) into the kernel, with cross-chain pooling and the
+  trapped-chain rescue staying at XLA chunk boundaries.
+- Measured crossover (results/mk_tpu_parity*.json, v5e): the kernel wins
+  ~2x at <=512 chains; the unroll-8 XLA runner wins at 2048.  ``sample()``
+  auto-selects accordingly (sample.py:_maybe_megakernel_runner).
 
 ``interpret=True`` runs the kernel through the Pallas interpreter (CPU), and
 is compared bit-for-bit against the XLA runner in

@@ -139,26 +139,27 @@ _RUNNER_CACHE: dict = {}
 def _maybe_megakernel_runner(model: ModelDef, cfg: NutsConfig,
                              chunk_len: int, dtype, n_chains: int,
                              pool_step: bool, fallback):
-    """Auto-select the Pallas megakernel for post-warmup chunks.
+    """Opt-in Pallas megakernel for post-warmup chunks.
 
-    Policy (measured on TPU v5e, radon, ``results/mk_tpu_parity*.json``):
-    the VMEM-resident kernel beats the XLA runner ~2x at small fleets
-    (512 chains: 2.17M vs 1.06M grads/s) but loses to the unroll-8 XLA
-    runner at large ones (2048 chains: 3.51M vs 4.34M) -- per-tile serial
-    grid execution stops paying once the fleet saturates the chip.  So:
-    auto-select on TPU when the config is in kernel scope
-    (``megakernel.supports``), the fleet is at or below the measured
-    crossover (1024 chains), and a supported tile divides the fleet.
-    ``NUTPIE_TPU_MEGAKERNEL=1`` forces it regardless of fleet size, ``=0``
-    disables.  The model's logp may contain ops Mosaic cannot lower
-    (batched gathers, ...), which only surfaces at compile time -- every
-    call runs under a runtime fallback to the XLA runner, and the first
-    failure disables the kernel for the rest of the run.
+    Measured verdict (TPU v5e, radon, ``results/mk_tpu_parity*.json``):
+    the VMEM-resident kernel beats an UNROLL-MATCHED XLA runner 1.4-2.1x
+    at every fleet size, but the production unroll-8 XLA runner is faster
+    still (posterior grads/s: XLA-u8 4.33M/5.40M/4.34M at 512/1024/2048
+    chains vs the kernel's 2.17M/3.02M/3.51M) -- in-kernel unrolling does
+    not help (VMEM residency already removed the traffic the unroll
+    amortizes), so the kernel currently never wins on this hardware and
+    is NOT auto-selected.  ``NUTPIE_TPU_MEGAKERNEL=1`` opts in (verified
+    end-to-end: results/mk_auto_smoke_r4.json -- statistically identical
+    draws); the integer tree decisions match the XLA runner exactly, so
+    the kernel remains a validated second implementation of the machine
+    step and the substrate for future fused-phase work.  Mosaic compile
+    failures (e.g. batched gathers in the model logp) fall back to the
+    XLA runner at runtime.
     """
     import os
 
-    flag = os.environ.get("NUTPIE_TPU_MEGAKERNEL", "auto")
-    if flag == "0":
+    flag = os.environ.get("NUTPIE_TPU_MEGAKERNEL", "0")
+    if flag != "1":
         return fallback
     try:
         if jax.default_backend() != "tpu":
@@ -168,8 +169,6 @@ def _maybe_megakernel_runner(model: ModelDef, cfg: NutsConfig,
     from .sampler import megakernel
 
     if not megakernel.supports(cfg):
-        return fallback
-    if flag != "1" and n_chains > 1024:  # measured crossover
         return fallback
     tile = next(
         (t for t in (128, 64, 32, 16, 8) if n_chains % t == 0), None

@@ -31,9 +31,13 @@ Design notes:
   compiles the per-draw diag adaptation (Welford + dual averaging,
   elementwise) into the kernel, with cross-chain pooling and the
   trapped-chain rescue staying at XLA chunk boundaries.
-- Measured crossover (results/mk_tpu_parity*.json, v5e): the kernel wins
-  ~2x at <=512 chains; the unroll-8 XLA runner wins at 2048.  ``sample()``
-  auto-selects accordingly (sample.py:_maybe_megakernel_runner).
+- Measured verdict (results/mk_tpu_parity*.json, v5e): the kernel beats
+  an unroll-MATCHED XLA runner 1.4-2.1x at every fleet size, but the
+  production unroll-8 XLA runner is faster still at every size, so the
+  kernel is OPT-IN (``NUTPIE_TPU_MEGAKERNEL=1``;
+  sample.py:_maybe_megakernel_runner) -- a validated second
+  implementation of the machine step (integer tree decisions exactly
+  match the XLA runner) and the substrate for future fused-phase work.
 
 ``interpret=True`` runs the kernel through the Pallas interpreter (CPU), and
 is compared bit-for-bit against the XLA runner in

@@ -175,9 +175,9 @@ def test_megakernel_warmup_matches_xla_runner():
     )
 
 
-def test_auto_select_returns_fallback_off_tpu():
-    # sample()'s auto-selection must leave non-TPU backends on the XLA
-    # runner, and NUTPIE_TPU_MEGAKERNEL=0 must disable it everywhere
+def test_megakernel_opt_in_returns_fallback_off_tpu():
+    # the kernel is opt-in (NUTPIE_TPU_MEGAKERNEL=1); by default -- and on
+    # non-TPU backends even when opted in -- sample() keeps the XLA runner
     import os
 
     from nutpie_tpu.sample import _maybe_megakernel_runner
@@ -188,13 +188,13 @@ def test_auto_select_returns_fallback_off_tpu():
         radon(gather="onehot"), cfg, 16, jnp.float32, 64,
         pool_step=False, fallback=sentinel,
     )
-    assert out is sentinel  # CPU backend in tests
-    os.environ["NUTPIE_TPU_MEGAKERNEL"] = "0"
+    assert out is sentinel  # default: opt-in only
+    os.environ["NUTPIE_TPU_MEGAKERNEL"] = "1"
     try:
         out = _maybe_megakernel_runner(
             radon(gather="onehot"), cfg, 16, jnp.float32, 64,
             pool_step=False, fallback=sentinel,
         )
-        assert out is sentinel
+        assert out is sentinel  # CPU backend in tests
     finally:
         del os.environ["NUTPIE_TPU_MEGAKERNEL"]

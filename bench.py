@@ -514,25 +514,23 @@ def main() -> None:
     import jax as _jax
 
     @_jax.jit
-    def _accum(ns_tot, div_tot, div_post, scalars, keep_from, limit):
-        # ONE dispatch per chunk for all device-side counters: eager
-        # jnp.sum/add chains cost several tunnel round trips per chunk,
-        # which at ~100 chunks dominates warmup wall (r4 finding, same
-        # class as the eager fleet_depth_cap)
+    def _reduce_stats(scalars_all, valid, post_rows):
+        # ONE reduction over the whole run's stat rows.  Per-chunk device
+        # dispatches are the enemy on tunneled topologies: each jitted
+        # call costs a ~65ms round trip (measured r4), so the loop only
+        # APPENDS the scalars buffers (no dispatch) and everything reduces
+        # here in a single call at the end.
         from nutpie_tpu.sampler.nuts import SCALAR_SLOTS
 
-        n = scalars[..., SCALAR_SLOTS["n_steps"]]
-        d = scalars[..., SCALAR_SLOTS["diverging"]]
-        rows = jnp.arange(n.shape[-1])
-        in_lim = rows[None, :] < limit
-        ns_tot = ns_tot + jnp.sum(jnp.where(in_lim, n, 0.0))
-        div_tot = div_tot + jnp.sum(
-            jnp.where(in_lim, d, 0.0)
-        ).astype(jnp.int32)
-        post_rows = in_lim & (rows[None, :] >= keep_from)
-        div_post = div_post + jnp.sum(
-            jnp.where(post_rows, d, 0.0)
-        ).astype(jnp.int32)
+        n = scalars_all[..., SCALAR_SLOTS["n_steps"]]
+        d = scalars_all[..., SCALAR_SLOTS["diverging"]]
+        ns_tot = jnp.sum(jnp.where(valid[None, :], n, 0.0))
+        div_tot = jnp.sum(jnp.where(valid[None, :], d, 0.0)).astype(
+            jnp.int32
+        )
+        div_post = jnp.sum(jnp.where(post_rows[None, :], d, 0.0)).astype(
+            jnp.int32
+        )
         return ns_tot, div_tot, div_post
 
     def run(seed):
@@ -543,13 +541,9 @@ def main() -> None:
             init_fn=init_fn,
         )
         post_chunks = []
-        # accumulate counters ON DEVICE: an int() per chunk would block the
-        # host on every chunk's completion, serializing dispatch through the
-        # host<->device link; device accumulation keeps the dispatch loop
-        # running ahead and syncs once at the end
-        n_steps_total = jnp.zeros((), jnp.float32)
-        divergences = jnp.zeros((), jnp.int32)
-        div_posterior = jnp.zeros((), jnp.int32)
+        scalars_hist = []   # per-chunk stat buffers (list append: 0 dispatches)
+        valid_rows = []     # host-side row-validity / posterior masks
+        post_rows = []
         start = 0
         # static initial cap until the first fleet measurement (see
         # NutsConfig.initial_depth_cap: the uncapped first chunk burned 78%
@@ -574,16 +568,23 @@ def main() -> None:
                 # keep only the monitored columns on device (full buffers
                 # would exhaust HBM at large chains x draws)
                 post_chunks.append(bufs.position[:, keep_from:limit, cols])
-            n_steps_total, divergences, div_posterior = _accum(
-                n_steps_total, divergences, div_posterior, bufs.scalars,
-                jnp.asarray(keep_from if start + limit > TUNE else limit,
-                            jnp.int32),
-                jnp.asarray(limit, jnp.int32),
-            )
+            scalars_hist.append(bufs.scalars)
+            row_valid = np.zeros(CHUNK, bool)
+            row_valid[:limit] = True
+            row_post = np.zeros(CHUNK, bool)
+            if start + limit > TUNE:
+                row_post[keep_from:limit] = True
+            valid_rows.append(row_valid)
+            post_rows.append(row_post)
             start += limit
         posterior = jnp.concatenate(post_chunks, axis=1)
         min_ess = min_ess_over_columns(
             posterior, jnp.arange(cols.shape[0], dtype=jnp.int32)
+        )
+        n_steps_total, divergences, div_posterior = _reduce_stats(
+            jnp.concatenate(scalars_hist, axis=1),
+            jnp.asarray(np.concatenate(valid_rows)),
+            jnp.asarray(np.concatenate(post_rows)),
         )
         return (float(min_ess), int(n_steps_total), int(divergences),
                 int(div_posterior))

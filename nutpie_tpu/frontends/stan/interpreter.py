@@ -1248,10 +1248,36 @@ class StanInterpreter:
             node.line, node.col,
         )
 
+    # Higher-order functionals the reference inherits from Stan math's C++
+    # (solvers / parallel map) that this build intentionally does not
+    # implement; checked BEFORE argument evaluation so the user sees the
+    # real scope boundary instead of "undefined variable 'f'" for the
+    # function-valued argument
+    _UNSUPPORTED_FUNCTIONALS = {
+        "reduce_sum", "reduce_sum_static", "map_rect",
+        "integrate_1d", "integrate_ode", "integrate_ode_rk45",
+        "integrate_ode_bdf", "integrate_ode_adams",
+        "ode_rk45", "ode_rk45_tol", "ode_bdf", "ode_bdf_tol",
+        "ode_adams", "ode_adams_tol", "ode_ckrk", "ode_ckrk_tol",
+        "ode_adjoint_tol_ctl",
+        "algebra_solver", "algebra_solver_newton", "solve_newton",
+        "solve_powell", "dae", "dae_tol", "hmm_marginal",
+        "hmm_latent_rng", "hmm_hidden_state_prob",
+    }
+
     def eval_call(self, node: A.Call, env: dict, ctx: Ctx):
         name = node.name
         if name == "target":
             return ctx.target
+        if name in self._UNSUPPORTED_FUNCTIONALS:
+            raise StanCompileError(
+                f"{name!r} is not supported: Stan's higher-order solvers "
+                f"and parallel functionals come from Stan math's C++ "
+                f"(reference: BridgeStan), which cannot run on TPU; "
+                f"rewrite the model without it (e.g. vectorized "
+                f"target += statements instead of reduce_sum)",
+                node.line, node.col,
+            )
         args = [self.eval_expr(a, env, ctx) for a in node.args]
 
         # user-defined functions

@@ -522,6 +522,51 @@ def test_unsupported_types_precise_errors():
         nutpie_tpu.compile_stan_model(code=code)
 
 
+def test_unsupported_functionals_precise_errors():
+    """Stan's higher-order solvers / parallel functionals (implemented in
+    Stan math's C++, which the reference reaches through BridgeStan) are a
+    documented scope boundary: every one fails with an intentional
+    compile-time error naming the functional, not an 'undefined variable'
+    on its function-valued argument (VERDICT r3 item 7)."""
+    from nutpie_tpu.frontends.stan.errors import StanCompileError
+
+    snippets = {
+        "reduce_sum": (
+            "functions { real f(array[] real y, int s, int e) "
+            "{ return sum(y[s:e]); } } "
+            "parameters { real x; } "
+            "model { target += reduce_sum(f, {1.0, 2.0}, 1); "
+            "x ~ normal(0,1); }"
+        ),
+        "ode_rk45": (
+            "functions { vector df(real t, vector y) { return -y; } } "
+            "parameters { real x; } "
+            "transformed parameters { array[2] vector[1] sol = "
+            "ode_rk45(df, [1.0]', 0.0, {1.0, 2.0}); } "
+            "model { x ~ normal(0,1); }"
+        ),
+        "algebra_solver": (
+            "functions { vector g(vector y, vector theta, "
+            "array[] real xr, array[] int xi) { return y - theta; } } "
+            "parameters { real x; } model { x ~ normal(0,1); } "
+            "generated quantities { vector[1] s = "
+            "algebra_solver(g, [0.5]', [1.0]', {0.0}, {0}); }"
+        ),
+        "map_rect": (
+            "functions { vector mr(vector phi, vector theta, "
+            "array[] real xr, array[] int xi) { return theta; } } "
+            "parameters { real x; } "
+            "model { x ~ normal(0,1); "
+            "target += sum(map_rect(mr, [0.0]', {[0.0]'}, {{0.0}}, {{0}})); }"
+        ),
+    }
+    for name, code in snippets.items():
+        with pytest.raises(StanCompileError, match=f"'{name}' is not"):
+            model = nutpie_tpu.compile_stan_model(code=code)
+            nutpie_tpu.sample(model, chains=1, tune=5, draws=5, seed=0,
+                              progress_bar=False)
+
+
 def test_tuple_complex_parameters():
     """Tuple/complex PARAMETERS sample via flat real slots with per-slot
     constraint transforms, matching BridgeStan's layout + the stanio

@@ -234,16 +234,27 @@ def init_chains(
     init_mean = jnp.asarray(init_mean, dtype)
     states, ok = init_fn(chain_keys, init_mean)
     if step_search and n_chains >= 8:
-        # Init-quality retry: a chain whose stable step size lands orders of
-        # magnitude below the fleet's landed at a pathologically stiff
-        # position (on TPU such chains crash to step sizes below the f32
-        # position resolution during warmup and stall every lockstep chain
-        # with futile maxdepth trees).  Redraw those initial positions.
+        # Init-quality retry: redraw chains that initialized pathologically.
+        # Two failure profiles (both stall the lockstep fleet):
+        # - stable step size orders of magnitude below the fleet's -- a
+        #   pathologically STIFF position (such chains crash below the f32
+        #   position resolution during warmup and run futile maxdepth trees);
+        # - logp catastrophically below the fleet's -- a far-from-typical-set
+        #   position in a locally FLAT region (large allowed step), which
+        #   descends the potential running depth-capped trees every draw for
+        #   a whole chunk (measured: the 5 worst chunk-1 stragglers on the
+        #   radon bench all had init logp -3e5..-9e5 vs fleet median -3.6e3,
+        #   with ABOVE-median step sizes).  Same outlier statistic as the
+        #   trapped-chain rescue.
         from .state import tree_where
 
         for round_ in range(2):
             ls = np.asarray(states.adapt.da.log_step)
             bad = ls < np.median(ls) - np.log(100.0)
+            lp = np.asarray(states.logp)
+            med = np.median(lp)
+            mad = np.median(np.abs(lp - med))
+            bad |= (med - lp) > 50.0 * (mad + 10.0)
             if not bad.any():
                 break
             retry_keys = jax.vmap(

@@ -1,0 +1,401 @@
+"""Stan's higher-order functionals, rebuilt natively on JAX primitives.
+
+The reference reaches these through Stan math's C++ templates via
+BridgeStan (`/root/reference/src/stan.rs:449-463` calls
+``log_density_gradient`` on the compiled model, so every functional the
+Stan language offers works "for free" there).  None of that C++ can run
+on a TPU; each functional is re-derived on the JAX primitive that gives
+the same *semantics* (value AND gradient):
+
+- ``reduce_sum``/``reduce_sum_static`` exploit an exact identity: the
+  partial-sum function must satisfy ``sum_i f(slice_i, start_i, end_i,
+  ...) == f(x, 1, N, ...)`` for any partition (that is what makes Stan's
+  parallelization valid), so the whole call evaluates as ONE call on the
+  full slice.  XLA already vectorizes the body; the grainsize hint is
+  meaningless on a lockstep accelerator.
+- ``map_rect`` unrolls over the (static) job axis at trace time and
+  concatenates the results — jobs fuse into one XLA program instead of
+  being farmed to MPI/TBB workers.
+- ``integrate_1d`` is 64-point Gauss–Legendre quadrature with Stan's
+  variable transforms for infinite endpoints.  Gradients flow through
+  the quadrature weights exactly as Stan differentiates under the
+  integral sign (Leibniz rule).
+- the ODE solvers ride ``jax.experimental.ode.odeint`` — adaptive
+  Dormand–Prince 5(4) with O(1)-memory adjoint gradients.  The stiff
+  variants (``*_bdf``, ``*_adams``, ``*_ckrk``) use the same non-stiff
+  integrator: requested tolerances are still honored by the adaptive
+  controller, but wall-time on genuinely stiff systems may be worse
+  than CVODES.  Tolerances are floored at 100·eps of the active float
+  dtype so f32 TPU traces cannot demand impossible accuracy.
+- the algebraic solvers run damped Newton inside ``lax.custom_root``,
+  so reverse-mode gradients use the implicit function theorem — the
+  same construction Stan math's ``algebra_solver`` vari uses.
+- the HMM marginalizers (in ``stanlib``) are ``lax.scan``
+  forward/backward recursions in log space.
+
+Every entry point takes the *resolved* partial function ``f`` (a plain
+callable of evaluated Stan values, with the interpreter context already
+bound) plus the evaluated remaining arguments.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.experimental.ode import odeint
+
+from . import ast_nodes as A
+from .errors import StanCompileError
+
+
+def _fdtype(*vals):
+    try:
+        return jnp.result_type(*(v for v in vals if v is not None), float)
+    except Exception:
+        return jnp.result_type(float)
+
+
+def _tol_floor(tol, dtype):
+    eps = float(jnp.finfo(dtype).eps)
+    return max(float(tol), 100.0 * eps)
+
+
+def _first_dim(x, node, what):
+    if isinstance(x, (list, tuple)):
+        return len(x)
+    shape = np.shape(x)
+    if not shape:
+        raise StanCompileError(
+            f"{what} must be an array (got a scalar)", node.line, node.col
+        )
+    return int(shape[0])
+
+
+def _rows(x, n):
+    if isinstance(x, (list, tuple)):
+        return list(x)
+    return [x[j] for j in range(n)]
+
+
+# --------------------------------------------------------- reduce_sum
+
+def _reduce_sum(f, args, node, ctx):
+    if len(args) < 2:
+        raise StanCompileError(
+            "reduce_sum(f, x, grainsize, ...) needs at least a sliced "
+            "argument and a grainsize", node.line, node.col,
+        )
+    x, _grainsize, *shared = args
+    n = _first_dim(x, node, "the sliced argument of reduce_sum")
+    # exact semantic identity: one partition = the whole slice
+    return f(x, 1, n, *shared)
+
+
+# ----------------------------------------------------------- map_rect
+
+def _map_rect(f, args, node, ctx):
+    if len(args) != 4:
+        raise StanCompileError(
+            "map_rect(f, phi, thetas, x_rs, x_is) takes exactly 5 "
+            "arguments", node.line, node.col,
+        )
+    phi, thetas, x_rs, x_is = args
+    n_jobs = _first_dim(thetas, node, "the job-parameters argument of "
+                        "map_rect")
+    th = _rows(thetas, n_jobs)
+    xr = _rows(x_rs, n_jobs)
+    xi = _rows(x_is, n_jobs)
+    outs = []
+    for j in range(n_jobs):
+        out = f(phi, th[j], xr[j], xi[j])
+        outs.append(jnp.ravel(jnp.asarray(out)))
+    return jnp.concatenate(outs) if outs else jnp.zeros((0,))
+
+
+# -------------------------------------------------------- integrate_1d
+
+_GL_NODES, _GL_WEIGHTS = np.polynomial.legendre.leggauss(64)
+
+
+def _finite(bound):
+    """(is_concrete, float value or None) for an integration endpoint."""
+    if isinstance(bound, (int, float, np.generic)) or (
+        isinstance(bound, np.ndarray) and bound.size == 1
+    ):
+        return True, float(np.asarray(bound).reshape(()))
+    return False, None
+
+
+def _integrate_1d(f, args, node, ctx):
+    if len(args) not in (5, 6):
+        raise StanCompileError(
+            "integrate_1d(f, a, b, theta, x_r, x_i[, rel_tol]) takes 6 "
+            "or 7 arguments", node.line, node.col,
+        )
+    a, b, theta, x_r, x_i = args[:5]
+    a_conc, a_val = _finite(a)
+    b_conc, b_val = _finite(b)
+    a_inf = a_conc and a_val is not None and np.isinf(a_val)
+    b_inf = b_conc and b_val is not None and np.isinf(b_val)
+    t, w = _GL_NODES, _GL_WEIGHTS
+    nan = jnp.asarray(np.nan)
+
+    total = jnp.zeros(())
+    if a_inf and b_inf:
+        # x = t/(1-t^2), dx = (1+t^2)/(1-t^2)^2 dt, t in (-1, 1)
+        for tj, wj in zip(t, w):
+            x = tj / (1.0 - tj * tj)
+            jac = (1.0 + tj * tj) / (1.0 - tj * tj) ** 2
+            total = total + wj * jac * f(x, nan, theta, x_r, x_i)
+    elif b_inf:
+        # x = a + u/(1-u), u in (0,1); xc = x - a (distance to the
+        # finite endpoint, positive side)
+        for tj, wj in zip(t, w):
+            u = 0.5 * (tj + 1.0)
+            x = a + u / (1.0 - u)
+            jac = 0.5 / (1.0 - u) ** 2
+            total = total + wj * jac * f(x, x - a, theta, x_r, x_i)
+    elif a_inf:
+        # x = b - u/(1-u); xc = x - b (negative side, Stan's right-half
+        # convention)
+        for tj, wj in zip(t, w):
+            u = 0.5 * (tj + 1.0)
+            x = b - u / (1.0 - u)
+            jac = 0.5 / (1.0 - u) ** 2
+            total = total + wj * jac * f(x, x - b, theta, x_r, x_i)
+    else:
+        # finite [a, b]: xc = x - a on the left half, x - b on the right
+        # (Stan's convention so singular endpoint distances stay exact)
+        half = 0.5 * (jnp.asarray(b) - jnp.asarray(a))
+        mid = 0.5 * (jnp.asarray(b) + jnp.asarray(a))
+        for tj, wj in zip(t, w):
+            x = mid + half * tj
+            xc = x - a if tj < 0 else x - b
+            total = total + wj * f(x, xc, theta, x_r, x_i)
+        total = half * total
+    return total
+
+
+# ---------------------------------------------------------- ODE solvers
+
+def _run_odeint(f, y0, t0, ts, fargs, rel_tol, abs_tol, max_steps):
+    # both Stan interfaces have f(t, y, ...state-free args); the extra
+    # args ride through odeint so the adjoint differentiates them
+    dt = _fdtype(y0, t0)
+    y0a = jnp.asarray(y0, dt)
+    flat = y0a.ndim == 0
+    if flat:
+        y0a = y0a.reshape(1)
+    ts_a = jnp.asarray(ts, dt).reshape(-1)
+    t_full = jnp.concatenate([jnp.asarray(t0, dt).reshape(1), ts_a])
+    rtol = _tol_floor(rel_tol, dt)
+    atol = _tol_floor(abs_tol, dt)
+
+    def func(y, t, *a):
+        return jnp.asarray(f(t, y, *a), dt).reshape(y.shape)
+
+    sol = odeint(func, y0a, t_full, *fargs, rtol=rtol, atol=atol,
+                 mxstep=float(max_steps))
+    sol = sol[1:]
+    return sol[:, 0] if flat else sol
+
+
+def _make_ode(old_interface, default_rel, default_abs, default_max):
+    def impl(f, args, node, ctx):
+        if old_interface:
+            # integrate_ode_*(f, y0, t0, ts, theta, x_r, x_i
+            #                 [, rel_tol, abs_tol, max_steps]);
+            # f(t, y, theta, x_r, x_i) -> array[] real
+            if len(args) not in (6, 9):
+                raise StanCompileError(
+                    "integrate_ode_*(f, y0, t0, ts, theta, x_r, x_i"
+                    "[, rel_tol, abs_tol, max_num_steps])",
+                    node.line, node.col,
+                )
+            y0, t0, ts, theta, x_r, x_i = args[:6]
+            rel, ab, mx = (args[6:9] if len(args) == 9
+                           else (default_rel, default_abs, default_max))
+            return _run_odeint(f, y0, t0, ts, (theta, x_r, x_i),
+                               rel, ab, mx)
+        # ode_*(f, y0, t0, ts, ...args); f(t, y, ...args) -> vector
+        if len(args) < 3:
+            raise StanCompileError(
+                "ode solver needs (f, y0, t0, ts, ...)",
+                node.line, node.col,
+            )
+        y0, t0, ts, *rest = args
+        return _run_odeint(f, y0, t0, ts, tuple(rest),
+                           default_rel, default_abs, default_max)
+    return impl
+
+
+def _make_ode_tol(default_max):
+    def impl(f, args, node, ctx):
+        # ode_*_tol(f, y0, t0, ts, rel_tol, abs_tol, max_num_steps, ...)
+        if len(args) < 6:
+            raise StanCompileError(
+                "ode_*_tol needs (f, y0, t0, ts, rel_tol, abs_tol, "
+                "max_num_steps, ...)", node.line, node.col,
+            )
+        y0, t0, ts, rel, ab, mx, *rest = args
+        return _run_odeint(f, y0, t0, ts, tuple(rest), rel, ab, mx)
+    return impl
+
+
+# ------------------------------------------------------ algebra solvers
+
+def _newton_root(fun, y_guess, f_tol, max_steps):
+    """Damped Newton under lax.custom_root: reverse-mode gradients come
+    from the implicit function theorem (tangent_solve), matching Stan
+    math's algebra_solver vari; the forward solve itself need not be
+    differentiable, so it uses a while_loop with backtracking."""
+    dt = _fdtype(y_guess)
+    y0 = jnp.asarray(y_guess, dt).reshape(-1)
+    f_tol = _tol_floor(f_tol, dt)
+    max_steps = int(max_steps)
+
+    def resid(fn, y):
+        return jnp.asarray(fn(y), dt).reshape(-1)
+
+    def solve(fn, y_init):
+        def sq(y):
+            r = resid(fn, y)
+            return jnp.sum(r * r)
+
+        def cond(carry):
+            y, it = carry
+            r = resid(fn, y)
+            return jnp.logical_and(
+                jnp.max(jnp.abs(r)) > f_tol, it < max_steps
+            )
+
+        def body(carry):
+            y, it = carry
+            r = resid(fn, y)
+            J = jax.jacfwd(lambda yy: resid(fn, yy))(y)
+            dy = jnp.linalg.solve(J, r)
+            base = jnp.sum(r * r)
+            best_y, best_n = y, base
+            for step in (1.0, 0.5, 0.25, 0.0625):
+                cand = y - step * dy
+                n = sq(cand)
+                take = jnp.isfinite(n) & (n < best_n)
+                best_y = jnp.where(take, cand, best_y)
+                best_n = jnp.where(take, n, best_n)
+            return best_y, it + 1
+
+        y, _ = lax.while_loop(cond, body, (y_init, jnp.zeros((), jnp.int32)))
+        return y
+
+    def tangent_solve(g, y):
+        return jnp.linalg.solve(jax.jacfwd(g)(y), y)
+
+    return lax.custom_root(lambda y: resid(fun, y), y0, solve, tangent_solve)
+
+
+def _algebra_solver(f, args, node, ctx):
+    # algebra_solver[_newton](f, y_guess, theta, x_r, x_i
+    #                         [, rel_tol, f_tol, max_steps])
+    if len(args) not in (4, 7):
+        raise StanCompileError(
+            "algebra_solver(f, y_guess, theta, x_r, x_i[, rel_tol, "
+            "function_tol, max_num_steps])", node.line, node.col,
+        )
+    y_guess, theta, x_r, x_i = args[:4]
+    f_tol = args[5] if len(args) == 7 else 1e-6
+    max_steps = args[6] if len(args) == 7 else 200
+    return _newton_root(lambda y: f(y, theta, x_r, x_i), y_guess,
+                        f_tol, max_steps)
+
+
+def _solve_newton(f, args, node, ctx):
+    # solve_newton(f, y_guess, ...args)
+    if len(args) < 1:
+        raise StanCompileError(
+            "solve_newton(f, y_guess, ...)", node.line, node.col
+        )
+    y_guess, *rest = args
+    return _newton_root(lambda y: f(y, *rest), y_guess, 1e-6, 200)
+
+
+def _solve_newton_tol(f, args, node, ctx):
+    # solve_newton_tol(f, y_guess, scaling_step, f_tol, max_steps, ...)
+    if len(args) < 4:
+        raise StanCompileError(
+            "solve_newton_tol(f, y_guess, scaling_step, function_tol, "
+            "max_num_steps, ...)", node.line, node.col,
+        )
+    y_guess, _scaling, f_tol, max_steps, *rest = args
+    return _newton_root(lambda y: f(y, *rest), y_guess, f_tol, max_steps)
+
+
+def _solve_powell_tol(f, args, node, ctx):
+    # solve_powell_tol(f, y_guess, rel_tol, f_tol, max_steps, ...)
+    if len(args) < 4:
+        raise StanCompileError(
+            "solve_powell_tol(f, y_guess, rel_tol, function_tol, "
+            "max_num_steps, ...)", node.line, node.col,
+        )
+    y_guess, _rel, f_tol, max_steps, *rest = args
+    return _newton_root(lambda y: f(y, *rest), y_guess, f_tol, max_steps)
+
+
+# ------------------------------------------------------------- dispatch
+
+IMPLS = {
+    "reduce_sum": _reduce_sum,
+    "reduce_sum_static": _reduce_sum,
+    "map_rect": _map_rect,
+    "integrate_1d": _integrate_1d,
+    # old (deprecated in Stan) array-interface: defaults per Stan math
+    "integrate_ode": _make_ode(True, 1e-6, 1e-6, 1e6),
+    "integrate_ode_rk45": _make_ode(True, 1e-6, 1e-6, 1e6),
+    "integrate_ode_bdf": _make_ode(True, 1e-10, 1e-10, 1e8),
+    "integrate_ode_adams": _make_ode(True, 1e-10, 1e-10, 1e8),
+    # new variadic interface
+    "ode_rk45": _make_ode(False, 1e-6, 1e-6, 1e6),
+    "ode_rk45_tol": _make_ode_tol(1e6),
+    "ode_bdf": _make_ode(False, 1e-10, 1e-10, 1e8),
+    "ode_bdf_tol": _make_ode_tol(1e8),
+    "ode_adams": _make_ode(False, 1e-10, 1e-10, 1e8),
+    "ode_adams_tol": _make_ode_tol(1e8),
+    "ode_ckrk": _make_ode(False, 1e-6, 1e-6, 1e6),
+    "ode_ckrk_tol": _make_ode_tol(1e6),
+    "algebra_solver": _algebra_solver,
+    "algebra_solver_newton": _algebra_solver,
+    "solve_newton": _solve_newton,
+    "solve_newton_tol": _solve_newton_tol,
+    "solve_powell": _solve_newton,
+    "solve_powell_tol": _solve_powell_tol,
+}
+
+FUNCTIONAL_NAMES = frozenset(IMPLS)
+
+
+def eval_functional(interp, name, node, env, ctx):
+    """Resolve the function-valued first argument and dispatch.
+
+    Called from the interpreter BEFORE normal argument evaluation (the
+    first argument names a function, which is not a value in any
+    environment)."""
+    if not node.args:
+        raise StanCompileError(
+            f"{name!r} needs a function as its first argument",
+            node.line, node.col,
+        )
+    fa = node.args[0]
+    if not isinstance(fa, A.Var) or fa.name not in interp.functions:
+        raise StanCompileError(
+            f"the first argument of {name!r} must name a user-defined "
+            f"function from the functions block",
+            node.line, node.col,
+        )
+    ufn = interp.functions[fa.name]
+
+    def f(*fargs):
+        return ufn(ctx, *fargs)
+
+    args = [interp.eval_expr(a, env, ctx) for a in node.args[1:]]
+    return IMPLS[name](f, args, node, ctx)

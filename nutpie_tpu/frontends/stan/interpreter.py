@@ -23,6 +23,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from . import ast_nodes as A
+from . import functionals as stan_functionals
 from .errors import StanCompileError, StanRuntimeError
 from .stanlib import (
     DISTRIBUTIONS,
@@ -1248,22 +1249,15 @@ class StanInterpreter:
             node.line, node.col,
         )
 
-    # Higher-order functionals the reference inherits from Stan math's C++
-    # (solvers / parallel map) that this build intentionally does not
-    # implement; checked BEFORE argument evaluation so the user sees the
-    # real scope boundary instead of "undefined variable 'f'" for the
-    # function-valued argument
-    _UNSUPPORTED_FUNCTIONALS = {
-        "reduce_sum", "reduce_sum_static", "map_rect",
-        "integrate_1d", "integrate_ode", "integrate_ode_rk45",
-        "integrate_ode_bdf", "integrate_ode_adams",
-        "ode_rk45", "ode_rk45_tol", "ode_bdf", "ode_bdf_tol",
-        "ode_adams", "ode_adams_tol", "ode_ckrk", "ode_ckrk_tol",
-        "ode_adjoint_tol_ctl",
-        "algebra_solver", "algebra_solver_newton", "solve_newton",
-        "solve_powell", "dae", "dae_tol", "hmm_marginal",
-        "hmm_latent_rng", "hmm_hidden_state_prob",
-    }
+    # The only higher-order functionals still out of scope: implicit
+    # DAE solvers (IDAS) and the adjoint-controlled ODE interface have
+    # no JAX counterpart here.  Everything else (reduce_sum, map_rect,
+    # integrate_1d, the ODE solvers, the algebraic solvers, the HMM
+    # marginalizers) is implemented natively in functionals.py /
+    # stanlib.py.  Checked BEFORE argument evaluation so the user sees
+    # the real scope boundary instead of "undefined variable 'f'" for
+    # the function-valued argument.
+    _UNSUPPORTED_FUNCTIONALS = {"dae", "dae_tol", "ode_adjoint_tol_ctl"}
 
     def eval_call(self, node: A.Call, env: dict, ctx: Ctx):
         name = node.name
@@ -1271,13 +1265,15 @@ class StanInterpreter:
             return ctx.target
         if name in self._UNSUPPORTED_FUNCTIONALS:
             raise StanCompileError(
-                f"{name!r} is not supported: Stan's higher-order solvers "
-                f"and parallel functionals come from Stan math's C++ "
-                f"(reference: BridgeStan), which cannot run on TPU; "
-                f"rewrite the model without it (e.g. vectorized "
-                f"target += statements instead of reduce_sum)",
+                f"{name!r} is not supported: Stan's implicit DAE/adjoint "
+                f"solvers come from Stan math's C++ (reference: "
+                f"BridgeStan), which cannot run on TPU; use ode_rk45/"
+                f"ode_bdf (supported) or rewrite the model without it",
                 node.line, node.col,
             )
+        if name in stan_functionals.FUNCTIONAL_NAMES:
+            return stan_functionals.eval_functional(self, name, node, env,
+                                                    ctx)
         args = [self.eval_expr(a, env, ctx) for a in node.args]
 
         # user-defined functions

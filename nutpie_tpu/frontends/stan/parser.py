@@ -109,12 +109,21 @@ class Parser:
             ret = "void"
             self.next()
         else:
-            ret_type = self.parse_type(allow_constraints=False)
+            ret_type = self.parse_type(
+                allow_constraints=False, in_signature=True
+            )
             ret = ret_type.base
         name = self.expect("IDENT").value
         self.expect("PUNCT", "(")
         params = []
         while not self.at("PUNCT", ")"):
+            # optional `data` qualifier (marks data-only arguments for
+            # Stan's autodiff-level checks; values here are concrete at
+            # trace time anyway, so the qualifier only needs parsing)
+            if self.peek().value == "data" and self.peek().kind in (
+                "KEYWORD", "IDENT"
+            ):
+                self.next()
             ptype = self.parse_type(allow_constraints=False, in_signature=True)
             pname = self.expect("IDENT").value
             params.append((ptype, pname))

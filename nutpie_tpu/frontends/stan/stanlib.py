@@ -593,6 +593,76 @@ def _von_mises_rng(key, mu, kappa):
     return jnp.mod(mu + theta + jnp.pi, 2.0 * jnp.pi) - jnp.pi
 
 
+# --------------------------------------------------------- HMM functions
+# The reference gets these from Stan math's C++ hmm_marginal.hpp family
+# via BridgeStan; here they are lax.scan forward(/backward) recursions in
+# log space.  Convention (Stan docs): log_omega is K x N (states x
+# observations), Gamma[i, j] = P(z_{n+1} = j | z_n = i), rho the initial
+# state simplex.
+
+def _hmm_forward(log_omega, Gamma, rho):
+    lo = jnp.asarray(log_omega, jnp.result_type(float))
+    lg = jnp.log(jnp.asarray(Gamma, jnp.result_type(float)))
+    lrho = jnp.log(jnp.asarray(rho, jnp.result_type(float)))
+    alpha0 = lrho + lo[:, 0]
+
+    def step(alpha, lo_n):
+        alpha_n = lo_n + jsp.logsumexp(alpha[:, None] + lg, axis=0)
+        return alpha_n, alpha_n
+
+    alpha_last, alphas_rest = jax.lax.scan(step, alpha0, lo[:, 1:].T)
+    alphas = jnp.concatenate([alpha0[None, :], alphas_rest], axis=0)
+    return alphas, alpha_last, lg, lo
+
+
+def hmm_marginal(log_omega, Gamma, rho):
+    _, alpha_last, _, _ = _hmm_forward(log_omega, Gamma, rho)
+    return jsp.logsumexp(alpha_last)
+
+
+def hmm_hidden_state_prob(log_omega, Gamma, rho):
+    """K x N matrix of P(z_n = k | y_{1:N}) via forward-backward."""
+    alphas, alpha_last, lg, lo = _hmm_forward(log_omega, Gamma, rho)
+    n = lo.shape[1]
+    beta_last = jnp.zeros(lo.shape[0])
+
+    def bstep(beta, lo_next):
+        beta_n = jsp.logsumexp(lg + (lo_next + beta)[None, :], axis=1)
+        return beta_n, beta_n
+
+    _, betas_rev = jax.lax.scan(bstep, beta_last, lo[:, 1:].T[::-1])
+    betas = jnp.concatenate(
+        [betas_rev[::-1], beta_last[None, :]], axis=0
+    ) if n > 1 else beta_last[None, :]
+    log_z = jsp.logsumexp(alpha_last)
+    return jnp.exp(alphas + betas - log_z).T
+
+
+def hmm_latent_rng(key, log_omega, Gamma, rho):
+    """Sample a latent path via forward-filter backward-sample; returns
+    1-based states (Stan convention)."""
+    alphas, alpha_last, lg, lo = _hmm_forward(log_omega, Gamma, rho)
+    n = lo.shape[1]
+    key, k_last = jax.random.split(key)
+    z_last = jax.random.categorical(k_last, alpha_last)
+
+    def bstep(carry, inp):
+        z_next, key = carry
+        alpha_n = inp
+        key, k = jax.random.split(key)
+        logits = alpha_n + lg[:, z_next]
+        z = jax.random.categorical(k, logits)
+        return (z, key), z
+
+    (_, _), zs_rev = jax.lax.scan(
+        bstep, (z_last, key), alphas[:-1][::-1]
+    )
+    zs = jnp.concatenate([zs_rev[::-1], z_last[None]]) if n > 1 else (
+        z_last[None]
+    )
+    return (zs + 1).astype(jnp.int32)
+
+
 RNG_FUNCTIONS = {
     "normal_rng": lambda key, mu, sigma: mu + sigma * jax.random.normal(
         key, _bshape(mu, sigma)
@@ -666,6 +736,7 @@ RNG_FUNCTIONS = {
         ) + 1
     ).astype(jnp.int32),
     "von_mises_rng": _von_mises_rng,
+    "hmm_latent_rng": hmm_latent_rng,
     "skew_normal_rng": lambda key, xi, omega, alpha: (
         lambda k1, k2, d: xi + omega * (
             d * jnp.abs(jax.random.normal(k1, _bshape(xi, omega, alpha)))
@@ -839,6 +910,8 @@ def _int_div(a, b):
     return a // b
 
 
+
+
 FUNCTIONS = {
     # elementary
     "abs": jnp.abs, "fabs": jnp.abs, "fmin": jnp.minimum, "fmax": jnp.maximum,
@@ -968,6 +1041,9 @@ FUNCTIONS = {
         jnp.asarray(L).T, jnp.asarray(b).T, lower=False
     ).T,
     "mdivide_left": lambda A, b: jnp.linalg.solve(jnp.asarray(A), jnp.asarray(b)),
+    # hidden Markov models (forward/backward recursions)
+    "hmm_marginal": hmm_marginal,
+    "hmm_hidden_state_prob": hmm_hidden_state_prob,
     # mixtures
     "log_mix": lambda theta, a, b: jnp.logaddexp(
         jnp.log(jnp.asarray(theta)) + jnp.asarray(a),

@@ -522,14 +522,12 @@ def test_unsupported_types_precise_errors():
         nutpie_tpu.compile_stan_model(code=code)
 
 
-def test_unsupported_functionals_precise_errors():
-    """Stan's higher-order solvers / parallel functionals (implemented in
-    Stan math's C++, which the reference reaches through BridgeStan) are a
-    documented scope boundary: every one fails with an intentional
-    compile-time error naming the functional, not an 'undefined variable'
-    on its function-valued argument (VERDICT r3 item 7)."""
-    from nutpie_tpu.frontends.stan.errors import StanCompileError
-
+def test_former_scope_boundary_functionals_now_run():
+    """Round 4's scope boundary (reduce_sum / ode_rk45 / algebra_solver /
+    map_rect rejected with precise errors) became round 5's feature set:
+    the same snippets that had to error now compile and sample.  Full
+    value/gradient coverage lives in tests/test_stan_functionals.py;
+    the residual boundary (dae) is asserted there too."""
     snippets = {
         "reduce_sum": (
             "functions { real f(array[] real y, int s, int e) "
@@ -561,10 +559,12 @@ def test_unsupported_functionals_precise_errors():
         ),
     }
     for name, code in snippets.items():
-        with pytest.raises(StanCompileError, match=f"'{name}' is not"):
-            model = nutpie_tpu.compile_stan_model(code=code)
-            nutpie_tpu.sample(model, chains=1, tune=5, draws=5, seed=0,
-                              progress_bar=False)
+        model = nutpie_tpu.compile_stan_model(code=code)
+        trace = nutpie_tpu.sample(model, chains=1, tune=20, draws=20,
+                                  seed=0, progress_bar=False)
+        assert np.isfinite(
+            np.asarray(trace.posterior["x"].values)
+        ).all(), name
 
 
 def test_tuple_complex_parameters():

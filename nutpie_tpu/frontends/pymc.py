@@ -209,9 +209,19 @@ class CompiledPyMCModel(CompiledModel):
         ) if ndim else np.zeros(0)
         probe = jax.eval_shape(expand_fn, jnp.zeros(ndim))
         dims_lookup = dict(self.dims)
+
+        def _guard_dims(name, shape):
+            # rank-mismatched dims fall back to auto-generated names (same
+            # guard as the param vars below; None entries are filled by
+            # resolve_variables per reference common.rs:302-379)
+            dims = dims_lookup.get(name)
+            if dims is not None and len(dims) != len(shape):
+                return None
+            return dims
+
         expanded_vars = [
             (name, np.dtype(np.float64), tuple(probe[name].shape),
-             dims_lookup.get(name))
+             _guard_dims(name, probe[name].shape))
             for name in expand_names
         ]
         param_vars = []

@@ -50,7 +50,13 @@ def resolve_variables(
         if dims is None:
             dims_t = tuple(f"{name}_dim_{i}" for i in range(len(shape)))
         else:
-            dims_t = tuple(dims)
+            # None entries are anonymous dims (pymc's dims=("row", None));
+            # the reference auto-names them {name}_dim_{i}
+            # (src/common.rs:302-379)
+            dims_t = tuple(
+                d if d is not None else f"{name}_dim_{i}"
+                for i, d in enumerate(dims)
+            )
             if len(dims_t) != len(shape):
                 raise ValueError(
                     f"Variable {name}: dims {dims_t} do not match shape {shape}"

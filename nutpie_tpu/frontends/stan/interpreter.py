@@ -1301,13 +1301,15 @@ class StanInterpreter:
                     )
                 return jnp.sum(jnp.asarray(fn(*args)))
         if name.endswith("_cdf"):
-            from .stanlib import normal_cdf
-
-            if name == "normal_cdf":
-                return normal_cdf(*args)
-            raise StanCompileError(
-                f"unsupported function {name!r}", node.line, node.col
-            )
+            # Stan cdf semantics: container arguments produce the JOINT
+            # probability (product of elementwise cdfs) = exp(sum(lcdf))
+            dist = name[: -len("_cdf")]
+            fn = LCDFS.get(dist)
+            if fn is None:
+                raise StanCompileError(
+                    f"unsupported function {name!r}", node.line, node.col
+                )
+            return jnp.exp(jnp.sum(jnp.asarray(fn(*args))))
         if name.endswith("_rng"):
             fn = RNG_FUNCTIONS.get(name)
             if fn is None:

@@ -387,6 +387,45 @@ def multi_student_t_lpdf(y, nu, mu, Sigma):
     )
 
 
+# ------------------------------------------------------- fused GLM densities
+# Stan math's *_glm families (C++ fused likelihood+linear-predictor).  On
+# TPU the fusion is the POINT: eta = alpha + x @ beta is one MXU matmul
+# that XLA fuses with the elementwise density, so these are the preferred
+# spellings for regression likelihoods at scale.
+
+def _glm_eta(x, alpha, beta):
+    return jnp.asarray(alpha) + jnp.asarray(x) @ jnp.ravel(_as_f(beta))
+
+
+def normal_id_glm_lpdf(y, x, alpha, beta, sigma):
+    return normal_lpdf(y, _glm_eta(x, alpha, beta), sigma)
+
+
+def bernoulli_logit_glm_lpmf(y, x, alpha, beta):
+    return bernoulli_logit_lpmf(y, _glm_eta(x, alpha, beta))
+
+
+def poisson_log_glm_lpmf(y, x, alpha, beta):
+    return poisson_log_lpmf(y, _glm_eta(x, alpha, beta))
+
+
+def neg_binomial_2_log_glm_lpmf(y, x, alpha, beta, phi):
+    return neg_binomial_2_log_lpmf(y, _glm_eta(x, alpha, beta), phi)
+
+
+def ordered_logistic_glm_lpmf(y, x, beta, cuts):
+    eta = jnp.asarray(x) @ jnp.ravel(_as_f(beta))
+    return ordered_logistic_lpmf(y, eta, cuts)
+
+
+def categorical_logit_glm_lpmf(y, x, alpha, beta):
+    # x: [n, k]; beta: [k, K]; alpha: [K] -> eta: [n, K]
+    eta = jnp.asarray(alpha)[None, :] + jnp.asarray(x) @ _as_f(beta)
+    logp = jax.nn.log_softmax(eta, axis=-1)
+    idx = (jnp.asarray(y) - 1).reshape(-1, 1)
+    return jnp.take_along_axis(logp, idx, axis=-1)[:, 0]
+
+
 DISTRIBUTIONS = {
     "normal": normal_lpdf,
     "std_normal": std_normal_lpdf,
@@ -430,6 +469,12 @@ DISTRIBUTIONS = {
     "wishart": wishart_lpdf,
     "inv_wishart": inv_wishart_lpdf,
     "multi_student_t": multi_student_t_lpdf,
+    "normal_id_glm": normal_id_glm_lpdf,
+    "bernoulli_logit_glm": bernoulli_logit_glm_lpmf,
+    "poisson_log_glm": poisson_log_glm_lpmf,
+    "neg_binomial_2_log_glm": neg_binomial_2_log_glm_lpmf,
+    "ordered_logistic_glm": ordered_logistic_glm_lpmf,
+    "categorical_logit_glm": categorical_logit_glm_lpmf,
 }
 
 # distributions whose lpdf reduces over the last axis (not elementwise)

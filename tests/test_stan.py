@@ -838,3 +838,107 @@ def test_gq_rng_chunk_layout_invariance():
         np.testing.assert_allclose(
             np.asarray(tr.posterior["y_rep"].values), base, rtol=1e-12
         )
+
+
+def test_glm_fused_densities():
+    """Stan math's *_glm fused likelihoods (reference: C++ via BridgeStan);
+    here eta = alpha + x @ beta is one MXU matmul fused with the
+    elementwise density.  Posterior check vs the unfused spelling."""
+    rng = np.random.default_rng(0)
+    N, K = 60, 3
+    X = rng.standard_normal((N, K))
+    beta_true = np.array([1.0, -0.5, 0.25])
+    logits = 0.3 + X @ beta_true
+    y = (rng.uniform(size=N) < 1 / (1 + np.exp(-logits))).astype(np.int64)
+
+    fused = """
+    data { int N; int K; matrix[N, K] x; array[N] int y; }
+    parameters { real alpha; vector[K] beta; }
+    model {
+      alpha ~ normal(0, 2); beta ~ normal(0, 2);
+      y ~ bernoulli_logit_glm(x, alpha, beta);
+    }
+    """
+    unfused = """
+    data { int N; int K; matrix[N, K] x; array[N] int y; }
+    parameters { real alpha; vector[K] beta; }
+    model {
+      alpha ~ normal(0, 2); beta ~ normal(0, 2);
+      y ~ bernoulli_logit(alpha + x * beta);
+    }
+    """
+    data = dict(N=N, K=K, x=X, y=y)
+    tr_f = nutpie_tpu.sample(
+        nutpie_tpu.compile_stan_model(code=fused).with_data(**data),
+        chains=2, tune=300, draws=400, seed=0, progress_bar=False)
+    tr_u = nutpie_tpu.sample(
+        nutpie_tpu.compile_stan_model(code=unfused).with_data(**data),
+        chains=2, tune=300, draws=400, seed=0, progress_bar=False)
+    bf = np.asarray(tr_f.posterior["beta"].values)
+    bu = np.asarray(tr_u.posterior["beta"].values)
+    # identical logp -> identical seeded draws
+    np.testing.assert_allclose(bf, bu, atol=1e-8)
+
+    # the other glm families: value parity against unfused log densities
+    import jax.numpy as jnp
+    from nutpie_tpu.frontends.stan import stanlib as sl
+
+    alpha, beta = 0.4, np.array([0.5, -1.0, 0.2])
+    eta = alpha + X @ beta
+    yc = rng.poisson(np.exp(np.clip(eta, None, 3.0)))
+    np.testing.assert_allclose(
+        np.asarray(sl.poisson_log_glm_lpmf(yc, X, alpha, beta)),
+        np.asarray(sl.poisson_log_lpmf(yc, eta)), rtol=1e-12)
+    np.testing.assert_allclose(
+        np.asarray(sl.normal_id_glm_lpdf(eta + 0.1, X, alpha, beta, 1.3)),
+        np.asarray(sl.normal_lpdf(eta + 0.1, eta, 1.3)), rtol=1e-12)
+    np.testing.assert_allclose(
+        np.asarray(sl.neg_binomial_2_log_glm_lpmf(yc, X, alpha, beta, 2.0)),
+        np.asarray(sl.neg_binomial_2_log_lpmf(yc, eta, 2.0)), rtol=1e-12)
+    cuts = np.array([-0.5, 0.5])
+    eta0 = X @ beta  # ordered_logistic_glm has no intercept argument
+    yo = 1 + np.sum(eta0[:, None] > cuts[None, :], axis=1)
+    np.testing.assert_allclose(
+        np.asarray(sl.ordered_logistic_glm_lpmf(yo, X, beta, cuts)),
+        np.asarray(sl.ordered_logistic_lpmf(yo, eta0, cuts)), rtol=1e-10)
+    Bc = rng.standard_normal((K, 4))
+    ac = np.array([0.1, -0.2, 0.3, 0.0])
+    etac = ac[None, :] + X @ Bc
+    ycat = 1 + np.argmax(etac + rng.gumbel(size=etac.shape), axis=1)
+    from scipy.special import log_softmax
+    expect = np.take_along_axis(
+        log_softmax(etac, axis=-1), (ycat - 1)[:, None], axis=-1)[:, 0]
+    np.testing.assert_allclose(
+        np.asarray(sl.categorical_logit_glm_lpmf(ycat, X, ac, Bc)),
+        expect, rtol=1e-10)
+
+
+def test_cdf_functions_breadth():
+    """Every distribution with an lcdf also exposes `_cdf` with Stan's
+    joint-probability container semantics (product of elementwise cdfs)."""
+    from scipy import stats
+
+    code = """
+    data { real q; }
+    parameters { real z; }
+    model { z ~ normal(0, 1); }
+    generated quantities {
+      real c_norm = normal_cdf(q | 1, 2);
+      real c_exp  = exponential_cdf(q | 0.7);
+      real c_gam  = gamma_cdf(q | 2.0, 1.5);
+      real c_logi = logistic_cdf(q | 0.5, 1.2);
+      real c_wei  = weibull_cdf(q | 1.3, 2.0);
+      real c_vec  = normal_cdf([q, q]' | 0, 1);
+    }
+    """
+    q = 0.8
+    m = nutpie_tpu.compile_stan_model(code=code).with_data(q=q)
+    tr = nutpie_tpu.sample(m, chains=1, tune=20, draws=20, seed=0,
+                           progress_bar=False)
+    get = lambda n: float(np.asarray(tr.posterior[n].values)[0, 0])
+    assert abs(get("c_norm") - stats.norm.cdf(q, 1, 2)) < 1e-8
+    assert abs(get("c_exp") - stats.expon.cdf(q, scale=1 / 0.7)) < 1e-8
+    assert abs(get("c_gam") - stats.gamma.cdf(q, 2.0, scale=1 / 1.5)) < 1e-7
+    assert abs(get("c_logi") - stats.logistic.cdf(q, 0.5, 1.2)) < 1e-8
+    assert abs(get("c_wei") - stats.weibull_min.cdf(q, 1.3, scale=2.0)) < 1e-8
+    assert abs(get("c_vec") - stats.norm.cdf(q) ** 2) < 1e-8

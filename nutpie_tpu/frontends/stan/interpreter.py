@@ -272,11 +272,15 @@ class StanInterpreter:
                     f"Model data variable {name!r} was not provided"
                 )
             if decl.type.base == "tuple":
-                raise StanCompileError(
-                    "tuple-typed data variables are not supported (pass "
-                    "the slots as separate data variables)",
-                    decl.line, decl.col,
+                # accepted forms: a python tuple/list of slot values, or
+                # the stanio JSON convention {"1": ..., "2": ...}
+                # (column-wise for arrays of tuples); internally an array
+                # of tuples is a python list of StanTuple, matching what
+                # ArrayLit builds for tuple literals
+                env[name] = self._bind_tuple_data(
+                    decl.type, data[name], env, decl
                 )
+                continue
             value = np.asarray(data[name])
             if decl.type.base == "complex":
                 value = value.astype(np.complex128)
@@ -399,6 +403,75 @@ class StanInterpreter:
             m = type_dims[1] if len(type_dims) > 1 else k
             return (k, m)
         return tuple(type_dims)
+
+    def _bind_tuple_data(self, spec: A.TypeSpec, raw, env, decl):
+        """Convert user-provided tuple data to the interpreter's tuple
+        representation (StanTuple / nested lists for array dims).
+
+        The reference receives tuple data through stanio's JSON dump
+        (``{"1": ..., "2": ...}``, column-wise over array dims) and
+        BridgeStan's C++; both that form and plain python tuples/lists of
+        slot values are accepted here."""
+        ctx = Ctx("logp")
+        array_dims = tuple(
+            _static_int(self.eval_expr(d, env, ctx), d, "array dimension")
+            for d in spec.array_dims
+        )
+
+        def convert_slot(slot_spec, value):
+            if slot_spec.base == "tuple":
+                return convert_tuple(slot_spec, value, ())
+            if slot_spec.base == "complex":
+                arr = np.asarray(value, np.complex128)
+                return StanComplex(np.array(arr.real), np.array(arr.imag))
+            if slot_spec.base == "int":
+                return np.asarray(value, np.int64)
+            arr = np.asarray(value, np.float64)
+            if slot_spec.base == "row_vector" and arr.ndim == 1:
+                arr = arr.reshape(1, -1)
+            return arr
+
+        def convert_tuple(tspec, value, adims):
+            if adims:
+                n = adims[0]
+                if isinstance(value, dict):
+                    # column-wise: slice each slot column per element
+                    rows = [
+                        {k: np.asarray(v)[i] if not isinstance(v, dict)
+                         else {kk: np.asarray(vv)[i] for kk, vv in v.items()}
+                         for k, v in value.items()}
+                        for i in range(n)
+                    ]
+                else:
+                    rows = list(value)
+                if len(rows) != n:
+                    raise StanRuntimeError(
+                        f"Data variable {decl.name!r}: expected {n} "
+                        f"tuple elements, got {len(rows)}"
+                    )
+                return [convert_tuple(tspec, r, adims[1:]) for r in rows]
+            if isinstance(value, dict):
+                slots = [
+                    value[str(i + 1)] for i in range(len(tspec.tuple_slots))
+                ]
+            elif isinstance(value, (tuple, list)):
+                slots = list(value)
+                if len(slots) != len(tspec.tuple_slots):
+                    raise StanRuntimeError(
+                        f"Data variable {decl.name!r}: tuple has "
+                        f"{len(tspec.tuple_slots)} slots, got {len(slots)}"
+                    )
+            else:
+                raise StanRuntimeError(
+                    f"Data variable {decl.name!r}: tuple data must be a "
+                    f"tuple/list of slot values or a "
+                    f"{{'1': ..., '2': ...}} dict (stanio convention)"
+                )
+            return StanTuple(
+                [convert_slot(s, v) for s, v in zip(tspec.tuple_slots, slots)]
+            )
+
+        return convert_tuple(spec, raw, array_dims)
 
     def _decl_shape(self, decl: A.Decl, env) -> tuple:
         ctx = Ctx("logp")

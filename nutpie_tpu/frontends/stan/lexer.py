@@ -81,9 +81,11 @@ def tokenize(src: str) -> list[Token]:
             c == "."
             and tokens
             and (
-                tokens[-1].kind in ("IDENT", "KEYWORD")
+                tokens[-1].kind in ("IDENT", "KEYWORD", "INT", "REAL")
                 or (tokens[-1].kind == "PUNCT" and tokens[-1].value in (")", "]"))
             )
+            # a number token is complete when emitted, so a '.' right
+            # after INT/REAL can only continue a member chain (`x.2.2.real`)
             and i + 1 < n
             and (src[i + 1].isdigit() or src[i + 1].isalpha() or src[i + 1] == "_")
         ):

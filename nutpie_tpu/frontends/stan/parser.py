@@ -515,6 +515,43 @@ class Parser:
             elif self.at("OP", "."):
                 tok = self.next()
                 field = self.peek()
+                if (field.kind == "REAL" and "." in field.value
+                        and "e" not in field.value.lower()):
+                    # chained slot access `x.2.1` lexes the `2.1` as one
+                    # REAL token (and `x.1.real` lexes `1.` as REAL with a
+                    # trailing dot); split into consecutive member accesses
+                    first, second = field.value.split(".", 1)
+                    if first.isdigit() and second.isdigit():
+                        self.next()
+                        expr = A.Member(
+                            base=expr, field=first,
+                            line=tok.line, col=tok.col,
+                        )
+                        expr = A.Member(
+                            base=expr, field=second,
+                            line=field.line, col=field.col,
+                        )
+                        continue
+                    if first.isdigit() and second == "":
+                        self.next()
+                        expr = A.Member(
+                            base=expr, field=first,
+                            line=tok.line, col=tok.col,
+                        )
+                        nxt = self.peek()
+                        if nxt.kind not in ("INT", "IDENT", "KEYWORD"):
+                            raise StanCompileError(
+                                "expected a tuple slot number or "
+                                f"'real'/'imag' after '.', found "
+                                f"{nxt.value!r}",
+                                nxt.line, nxt.col,
+                            )
+                        self.next()
+                        expr = A.Member(
+                            base=expr, field=nxt.value,
+                            line=nxt.line, col=nxt.col,
+                        )
+                        continue
                 if field.kind not in ("INT", "IDENT", "KEYWORD"):
                     raise StanCompileError(
                         "expected a tuple slot number or 'real'/'imag' "

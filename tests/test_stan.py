@@ -942,3 +942,39 @@ def test_cdf_functions_breadth():
     assert abs(get("c_logi") - stats.logistic.cdf(q, 0.5, 1.2)) < 1e-8
     assert abs(get("c_wei") - stats.weibull_min.cdf(q, 1.3, scale=2.0)) < 1e-8
     assert abs(get("c_vec") - stats.norm.cdf(q) ** 2) < 1e-8
+
+
+def test_tuple_data_variables():
+    """Tuple-typed DATA: python tuples/lists of slots or stanio's
+    {"1": ..., "2": ...} dict (column-wise for arrays of tuples), with
+    nested tuples and chained member access x.2.1 / x.1.real (reference:
+    BridgeStan consumes stanio JSON, src/stan.rs:92-251)."""
+    code = """
+    data {
+      tuple(real, vector[2]) td;
+      array[3] tuple(int, real) pairs;
+      tuple(real, tuple(real, complex)) nested;
+    }
+    parameters { real mu; }
+    model { mu ~ normal(td.1 + sum(td.2), 1); }
+    generated quantities {
+      real s = 0;
+      for (i in 1:3) s += pairs[i].1 * pairs[i].2;
+      real n2 = nested.2.1;
+      real nre = nested.2.2.real;
+    }
+    """
+    m = nutpie_tpu.compile_stan_model(code=code).with_data(
+        td=(1.0, [2.0, 3.0]),
+        pairs={"1": [1, 2, 3], "2": [0.5, 0.25, 0.125]},
+        nested=(9.0, (4.0, 5.0 + 2.0j)),
+    )
+    tr = nutpie_tpu.sample(m, chains=1, tune=100, draws=200, seed=0,
+                           progress_bar=False)
+    assert abs(np.asarray(tr.posterior["mu"].values).mean() - 6.0) < 0.3
+    assert abs(float(np.asarray(tr.posterior["s"].values)[0, 0])
+               - 1.375) < 1e-9
+    assert abs(float(np.asarray(tr.posterior["n2"].values)[0, 0])
+               - 4.0) < 1e-9
+    assert abs(float(np.asarray(tr.posterior["nre"].values)[0, 0])
+               - 5.0) < 1e-9

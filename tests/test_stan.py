@@ -978,3 +978,54 @@ def test_tuple_data_variables():
                - 4.0) < 1e-9
     assert abs(float(np.asarray(tr.posterior["nre"].values)[0, 0])
                - 5.0) < 1e-9
+
+
+def test_empty_parameter_array():
+    """Reference test_empty (test_stan.py:49-64): a zero-size parameter
+    array samples fine — and unlike the reference (bridgestan#278 drops
+    the variable), it appears in the trace with trailing dim 0."""
+    code = """
+    data {}
+    parameters { array[0] real a; real x; }
+    model { a ~ normal(0, 1); x ~ normal(0, 1); }
+    """
+    m = nutpie_tpu.compile_stan_model(code=code)
+    tr = nutpie_tpu.sample(m, chains=2, tune=100, draws=100, seed=0,
+                           progress_bar=False)
+    assert np.asarray(tr.posterior["a"].values).shape == (2, 100, 0)
+    assert abs(np.asarray(tr.posterior["x"].values).mean()) < 0.3
+
+
+def test_stan_memory_order():
+    """Reference test_stan_memory_order (test_stan.py:210-249): nested
+    array-of-matrix generated quantities keep C-order element layout in
+    the trace (the reference transposes BridgeStan's Fortran order,
+    src/stan.rs:671-711; here structure is native end to end)."""
+    code = """
+    data { real x; }
+    parameters { real a; }
+    model { a ~ normal(0, 1); }
+    generated quantities {
+      array[2, 3] matrix[5, 7] b;
+      real count = 0;
+      for (i in 1:2)
+        for (j in 1:3) {
+          for (k in 1:5) {
+            for (n in 1:7) {
+              b[i, j][k, n] = count;
+              count = count + 1;
+            }
+          }
+        }
+    }
+    """
+    m = nutpie_tpu.compile_stan_model(code=code)
+    with pytest.raises(StanRuntimeError):
+        nutpie_tpu.sample(m, chains=1, tune=10, draws=10, seed=0,
+                          progress_bar=False)
+    tr = nutpie_tpu.sample(m.with_data(x=np.array(3.0)), chains=2, tune=50,
+                           draws=100, seed=0, progress_bar=False)
+    b = np.asarray(tr.posterior["b"].values)
+    assert b.shape == (2, 100, 2, 3, 5, 7)
+    expect = np.arange(2 * 3 * 5 * 7, dtype=float).reshape(2, 3, 5, 7)
+    np.testing.assert_array_equal(b[0, 0], expect)

@@ -387,6 +387,49 @@ def multi_student_t_lpdf(y, nu, mu, Sigma):
     )
 
 
+def exp_mod_normal_lpdf(y, mu, sigma, lam):
+    """Exponentially modified normal; the erfc tail goes through
+    log_ndtr for stability (erfc(u) = 2*ndtr(-u*sqrt(2)))."""
+    y, mu, sigma, lam = _as_f(y), _as_f(mu), _as_f(sigma), _as_f(lam)
+    u = (mu + lam * sigma * sigma - y) / (jnp.sqrt(2.0) * sigma)
+    return (
+        jnp.log(lam) - jnp.log(2.0)
+        + 0.5 * lam * (2.0 * mu + lam * sigma * sigma - 2.0 * y)
+        + jnp.log(2.0) + jsp.log_ndtr(-u * jnp.sqrt(2.0))
+    )
+
+
+def skew_double_exponential_lpdf(y, mu, sigma, tau):
+    y, mu, sigma, tau = _as_f(y), _as_f(mu), _as_f(sigma), _as_f(tau)
+    z = y - mu
+    cost = jnp.where(z >= 0, tau * z, (tau - 1.0) * z)
+    return (
+        jnp.log(2.0) + jnp.log(tau) + jnp.log1p(-tau) - jnp.log(sigma)
+        - 2.0 * cost / sigma
+    )
+
+
+def beta_proportion_lpdf(theta, mu, kappa):
+    mu, kappa = _as_f(mu), _as_f(kappa)
+    return beta_lpdf(theta, mu * kappa, (1.0 - mu) * kappa)
+
+
+def ordered_probit_lpmf(y, eta, c):
+    """Latent-normal ordered model: P(y<=k) = Phi(c_k - eta)."""
+    y = jnp.asarray(y)
+    eta, c = _as_f(eta), jnp.atleast_1d(_as_f(c))
+    z = c - (eta[..., None] if jnp.ndim(eta) else eta)
+    cum = jsp.ndtr(z)
+    pad0 = jnp.zeros(cum.shape[:-1] + (1,))
+    pad1 = jnp.ones(cum.shape[:-1] + (1,))
+    probs = jnp.diff(jnp.concatenate([pad0, cum, pad1], axis=-1), axis=-1)
+    if probs.ndim == 1:
+        return jnp.log(jnp.take(probs, y - 1))
+    return jnp.log(
+        jnp.take_along_axis(probs, (y - 1)[..., None], axis=-1)[..., 0]
+    )
+
+
 # ------------------------------------------------------- fused GLM densities
 # Stan math's *_glm families (C++ fused likelihood+linear-predictor).  On
 # TPU the fusion is the POINT: eta = alpha + x @ beta is one MXU matmul
@@ -469,6 +512,10 @@ DISTRIBUTIONS = {
     "wishart": wishart_lpdf,
     "inv_wishart": inv_wishart_lpdf,
     "multi_student_t": multi_student_t_lpdf,
+    "exp_mod_normal": exp_mod_normal_lpdf,
+    "skew_double_exponential": skew_double_exponential_lpdf,
+    "beta_proportion": beta_proportion_lpdf,
+    "ordered_probit": ordered_probit_lpmf,
     "normal_id_glm": normal_id_glm_lpdf,
     "bernoulli_logit_glm": bernoulli_logit_glm_lpmf,
     "poisson_log_glm": poisson_log_glm_lpmf,
@@ -1094,6 +1141,53 @@ FUNCTIONS = {
         jnp.log(jnp.asarray(theta)) + jnp.asarray(a),
         jnp.log1p(-jnp.asarray(theta)) + jnp.asarray(b),
     ),
+    # special functions
+    "inc_beta": lambda a, b, x: jsp.betainc(
+        _as_f(a), _as_f(b), _as_f(x)
+    ),
+    "gamma_p": lambda a, z: jsp.gammainc(_as_f(a), _as_f(z)),
+    "gamma_q": lambda a, z: jsp.gammaincc(_as_f(a), _as_f(z)),
+    "trigamma": lambda x: jsp.polygamma(1, _as_f(x)),
+    "choose": lambda n, k: jnp.round(jnp.exp(
+        jsp.gammaln(_as_f(n) + 1) - jsp.gammaln(_as_f(k) + 1)
+        - jsp.gammaln(_as_f(n) - _as_f(k) + 1)
+    )).astype(jnp.int64),
+    "falling_factorial": lambda x, n: jnp.exp(
+        jsp.gammaln(_as_f(x) + 1) - jsp.gammaln(_as_f(x) - _as_f(n) + 1)
+    ),
+    "rising_factorial": lambda x, n: jnp.exp(
+        jsp.gammaln(_as_f(x) + _as_f(n)) - jsp.gammaln(_as_f(x))
+    ),
+    "log_falling_factorial": lambda x, n: (
+        jsp.gammaln(_as_f(x) + 1) - jsp.gammaln(_as_f(x) - _as_f(n) + 1)
+    ),
+    "log_rising_factorial": lambda x, n: (
+        jsp.gammaln(_as_f(x) + _as_f(n)) - jsp.gammaln(_as_f(x))
+    ),
+    "inv_cloglog": lambda x: -jnp.expm1(-jnp.exp(_as_f(x))),
+    "cloglog": lambda x: jnp.log(-jnp.log1p(-_as_f(x))),
+    "fma": lambda x, y, z: _as_f(x) * _as_f(y) + _as_f(z),
+    "ldexp": lambda x, n: _as_f(x) * jnp.exp2(_as_f(n)),
+    "erf_inv": lambda x: jsp.erfinv(_as_f(x)),
+    "inv_erfc": lambda x: jsp.erfinv(1.0 - _as_f(x)),
+    # matrix decompositions (jnp.linalg rides the MXU)
+    "matrix_exp": lambda A: jax.scipy.linalg.expm(_as_f(A)),
+    "eigenvalues_sym": lambda A: jnp.linalg.eigvalsh(_as_f(A)),
+    "eigenvectors_sym": lambda A: jnp.linalg.eigh(_as_f(A))[1],
+    "qr_thin_Q": lambda A: jnp.linalg.qr(_as_f(A), mode="reduced")[0],
+    "qr_thin_R": lambda A: jnp.linalg.qr(_as_f(A), mode="reduced")[1],
+    "qr_Q": lambda A: jnp.linalg.qr(_as_f(A), mode="complete")[0],
+    "qr_R": lambda A: jnp.linalg.qr(_as_f(A), mode="complete")[1],
+    "singular_values": lambda A: jnp.linalg.svd(
+        _as_f(A), compute_uv=False
+    ),
+    "svd_U": lambda A: jnp.linalg.svd(_as_f(A), full_matrices=False)[0],
+    "svd_V": lambda A: jnp.swapaxes(
+        jnp.linalg.svd(_as_f(A), full_matrices=False)[2], -1, -2
+    ),
+    "generalized_inverse": lambda A: jnp.linalg.pinv(_as_f(A)),
+    "crossprod": lambda A: _transpose(_as_f(A)) @ _as_f(A),
+    "tcrossprod": lambda A: _as_f(A) @ _transpose(_as_f(A)),
     # constants
     # (log2()/log10() as 0-arg constants are handled by arity dispatch in
     # the interpreter; the dict entries above are the 1-arg functions)

@@ -1029,3 +1029,98 @@ def test_stan_memory_order():
     assert b.shape == (2, 100, 2, 3, 5, 7)
     expect = np.arange(2 * 3 * 5 * 7, dtype=float).reshape(2, 3, 5, 7)
     np.testing.assert_array_equal(b[0, 0], expect)
+
+
+def test_math_library_breadth():
+    """Special functions + matrix decompositions vs scipy/numpy ground
+    truth (the reference inherits these from Stan math C++)."""
+    from scipy import special as ss, linalg as sl2
+    from nutpie_tpu.frontends.stan import stanlib as sl
+
+    F = sl.FUNCTIONS
+    assert abs(float(F["inc_beta"](2.0, 3.0, 0.4))
+               - ss.betainc(2, 3, 0.4)) < 1e-10
+    assert abs(float(F["gamma_p"](2.5, 1.2)) - ss.gammainc(2.5, 1.2)) < 1e-10
+    assert abs(float(F["gamma_q"](2.5, 1.2)) - ss.gammaincc(2.5, 1.2)) < 1e-10
+    assert abs(float(F["trigamma"](1.7)) - ss.polygamma(1, 1.7)) < 1e-9
+    assert int(F["choose"](10, 3)) == 120
+    assert abs(float(F["falling_factorial"](6.0, 3)) - 120.0) < 1e-8
+    assert abs(float(F["rising_factorial"](4.0, 3)) - 120.0) < 1e-8
+    assert abs(float(F["log_falling_factorial"](6.0, 3))
+               - np.log(120.0)) < 1e-10
+    assert abs(float(F["inv_cloglog"](0.3))
+               - (1 - np.exp(-np.exp(0.3)))) < 1e-12
+    assert abs(float(F["cloglog"](0.4))
+               - np.log(-np.log(1 - 0.4))) < 1e-12
+    assert abs(float(F["erf_inv"](0.6)) - ss.erfinv(0.6)) < 1e-10
+    assert abs(float(F["fma"](2.0, 3.0, 4.0)) - 10.0) < 1e-12
+    assert abs(float(F["ldexp"](1.5, 3)) - 12.0) < 1e-12
+
+    rng = np.random.default_rng(0)
+    A = rng.standard_normal((4, 4))
+    S = A @ A.T + 4 * np.eye(4)
+    np.testing.assert_allclose(np.asarray(F["matrix_exp"](A)),
+                               sl2.expm(A), rtol=1e-8, atol=1e-8)
+    np.testing.assert_allclose(np.asarray(F["eigenvalues_sym"](S)),
+                               np.linalg.eigvalsh(S), rtol=1e-8)
+    V = np.asarray(F["eigenvectors_sym"](S))
+    w = np.asarray(F["eigenvalues_sym"](S))
+    np.testing.assert_allclose(S @ V, V @ np.diag(w), atol=1e-8)
+    B = rng.standard_normal((5, 3))
+    Q, R = np.asarray(F["qr_thin_Q"](B)), np.asarray(F["qr_thin_R"](B))
+    np.testing.assert_allclose(Q @ R, B, atol=1e-8)
+    np.testing.assert_allclose(np.asarray(F["singular_values"](B)),
+                               np.linalg.svd(B, compute_uv=False), rtol=1e-8)
+    U, Vt = np.asarray(F["svd_U"](B)), np.asarray(F["svd_V"](B))
+    sv = np.asarray(F["singular_values"](B))
+    np.testing.assert_allclose(U @ np.diag(sv) @ Vt.T, B, atol=1e-8)
+    np.testing.assert_allclose(np.asarray(F["generalized_inverse"](B)),
+                               np.linalg.pinv(B), atol=1e-8)
+    np.testing.assert_allclose(np.asarray(F["crossprod"](B)), B.T @ B,
+                               atol=1e-10)
+    np.testing.assert_allclose(np.asarray(F["tcrossprod"](B)), B @ B.T,
+                               atol=1e-10)
+
+
+def test_distribution_breadth():
+    """exp_mod_normal / skew_double_exponential / beta_proportion /
+    ordered_probit values vs scipy or direct formulas."""
+    from scipy import stats
+    from nutpie_tpu.frontends.stan import stanlib as sl
+
+    # exp_mod_normal(mu, sigma, lambda) == scipy exponnorm(K=1/(sigma*lam),
+    # loc=mu, scale=sigma)
+    y, mu, sigma, lam = 1.3, 0.5, 0.8, 1.7
+    expect = stats.exponnorm.logpdf(y, 1 / (sigma * lam), loc=mu,
+                                    scale=sigma)
+    assert abs(float(sl.exp_mod_normal_lpdf(y, mu, sigma, lam))
+               - expect) < 1e-9
+
+    # skew_double_exponential: direct formula both sides of mu
+    for y in (-0.7, 1.9):
+        mu, sigma, tau = 0.3, 1.2, 0.7
+        z = y - mu
+        cost = tau * z if z >= 0 else (tau - 1) * z
+        expect = np.log(2 * tau * (1 - tau) / sigma) - 2 * cost / sigma
+        assert abs(float(sl.skew_double_exponential_lpdf(y, mu, sigma, tau))
+                   - expect) < 1e-10
+
+    # beta_proportion == beta with (mu*kappa, (1-mu)*kappa)
+    assert abs(
+        float(sl.beta_proportion_lpdf(0.3, 0.4, 5.0))
+        - stats.beta.logpdf(0.3, 0.4 * 5, 0.6 * 5)
+    ) < 1e-9
+
+    # ordered_probit: probabilities sum to 1 and match Phi differences
+    eta = np.array([0.3, -1.0])
+    c = np.array([-0.5, 0.5])
+    lps = np.stack([
+        np.asarray(sl.ordered_probit_lpmf(np.full(2, k), eta, c))
+        for k in (1, 2, 3)
+    ])
+    probs = np.exp(lps)
+    np.testing.assert_allclose(probs.sum(axis=0), 1.0, atol=1e-10)
+    np.testing.assert_allclose(
+        probs[0], stats.norm.cdf(c[0] - eta), atol=1e-10)
+    np.testing.assert_allclose(
+        probs[2], 1 - stats.norm.cdf(c[1] - eta), atol=1e-10)

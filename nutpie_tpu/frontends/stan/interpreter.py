@@ -110,6 +110,14 @@ class _ReturnValue(Exception):
         self.value = value
 
 
+# complex containers carry their parts as one StanComplex with array-shaped
+# re/im (TPUs have no complex units; elementwise complex algebra broadcasts
+# over the parts for free)
+_CPLX_CONTAINER_BASES = frozenset(
+    {"complex_vector", "complex_row_vector", "complex_matrix"}
+)
+
+
 class Ctx:
     """Mutable evaluation context for one logp/expand call."""
 
@@ -282,8 +290,13 @@ class StanInterpreter:
                 )
                 continue
             value = np.asarray(data[name])
-            if decl.type.base == "complex":
+            if decl.type.base == "complex" or (
+                decl.type.base in _CPLX_CONTAINER_BASES
+            ):
                 value = value.astype(np.complex128)
+                shape = self._decl_shape(decl, env)
+                if tuple(value.shape) != shape:
+                    value = value.reshape(shape)
                 # np.array (not ascontiguousarray: it promotes 0-d to (1,))
                 env[name] = StanComplex(
                     np.array(value.real), np.array(value.imag)
@@ -317,7 +330,7 @@ class StanInterpreter:
         offset = 0
         for decl in program.parameters:
             base = decl.type.base
-            if base in ("tuple", "complex"):
+            if base in ("tuple", "complex") or base in _CPLX_CONTAINER_BASES:
                 # tuple/complex parameters lower to consecutive flat real
                 # slots (the reference samples them through BridgeStan's
                 # flat name parser, src/stan.rs:92-251): complex = 2 reals
@@ -486,9 +499,9 @@ class StanInterpreter:
         base = decl.type.base
         if base in ("int", "real", "complex"):
             return array_dims
-        if base == "row_vector":
+        if base in ("row_vector", "complex_row_vector"):
             return array_dims + (1,) + type_dims
-        if base in ("vector", "matrix"):
+        if base in ("vector", "matrix", "complex_vector", "complex_matrix"):
             return array_dims + type_dims
         return array_dims + self._constrained_type_shape(base, type_dims)
 
@@ -514,6 +527,24 @@ class StanInterpreter:
                 _static_int(self.eval_expr(d, env, ctx), d, what)
                 for d in exprs
             )
+
+        if base in _CPLX_CONTAINER_BASES:
+            # complex containers: interleaved (re, im) flat reals per
+            # element (BridgeStan's layout), reassembled as ONE
+            # StanComplex with array-shaped parts
+            type_dims = static_dims(spec.dims, "dimension")
+            array_dims = static_dims(spec.array_dims, "array dimension")
+            shape = array_dims + (
+                (1,) + type_dims if base == "complex_row_vector"
+                else type_dims
+            )
+            count = int(np.prod(shape)) if shape else 1
+
+            def fwd_cplx(u):
+                q = u.reshape(shape + (2,))
+                return StanComplex(q[..., 0], q[..., 1]), jnp.zeros(())
+
+            return 2 * count, fwd_cplx
 
         if base not in ("tuple", "complex"):
             # plain slot inside a tuple: the standard transform machinery
@@ -647,6 +678,17 @@ class StanInterpreter:
 
         def walk(nm: str, s: A.TypeSpec):
             array_dims = dims_of(s.array_dims)
+            if s.base in _CPLX_CONTAINER_BASES:
+                type_dims = dims_of(s.dims)
+                shape = array_dims + (
+                    (1,) + type_dims if s.base == "complex_row_vector"
+                    else type_dims
+                )
+                rows.append((f"{nm}.real", np.dtype(np.float64),
+                             tuple(shape)))
+                rows.append((f"{nm}.imag", np.dtype(np.float64),
+                             tuple(shape)))
+                return
             if s.base in ("tuple", "complex"):
                 for combo in itertools.product(
                     *(range(1, d + 1) for d in array_dims)
@@ -708,7 +750,9 @@ class StanInterpreter:
         self.exec_stmts(self.program.generated_quantities, env, ctx)
         out = {}
         for p in self.params:
-            if p["base"] in ("tuple", "complex"):
+            if p["base"] in ("tuple", "complex") or (
+                p["base"] in _CPLX_CONTAINER_BASES
+            ):
                 self._flatten_value(p["name"], env[p["name"]], out)
             else:
                 out[p["name"]] = jnp.asarray(env[p["name"]])
@@ -725,7 +769,9 @@ class StanInterpreter:
         """Names/dtypes/shapes of everything expand() returns."""
         out = []
         for p in self.params:
-            if p["base"] in ("tuple", "complex"):
+            if p["base"] in ("tuple", "complex") or (
+                p["base"] in _CPLX_CONTAINER_BASES
+            ):
                 for name, dtype, shape in self._flatten_decl_meta(
                     p["name"], p["spec"], self.base_env
                 ):
@@ -783,9 +829,17 @@ class StanInterpreter:
                     value, (StanComplex, list)
                 ):
                     value = _to_cplx(value)
+                if stmt.type.base in _CPLX_CONTAINER_BASES and not isinstance(
+                    value, StanComplex
+                ):
+                    value = _to_cplx(value)
                 env[stmt.name] = value
             elif stmt.type.base == "tuple":
                 env[stmt.name] = self._default_tuple_value(stmt.type, env, ctx)
+            elif stmt.type.base in _CPLX_CONTAINER_BASES:
+                shape = self._decl_shape_dynamic(stmt, env, ctx)
+                env[stmt.name] = StanComplex(jnp.zeros(shape),
+                                             jnp.zeros(shape))
             elif stmt.type.base == "complex":
                 shape = tuple(
                     _static_int(self.eval_expr(d, env, ctx), d,
@@ -994,11 +1048,9 @@ class StanInterpreter:
         base = decl.type.base
         if base in ("int", "real"):
             return array_dims
-        if base == "row_vector":
+        if base in ("row_vector", "complex_row_vector"):
             return array_dims + (1,) + type_dims
-        if base in ("vector",):
-            return array_dims + type_dims
-        if base == "matrix":
+        if base in ("vector", "matrix", "complex_vector", "complex_matrix"):
             return array_dims + type_dims
         return array_dims + self._constrained_type_shape(base, type_dims)
 
@@ -1034,6 +1086,19 @@ class StanInterpreter:
                 idx_tuples.extend(self._indexers(ix.indices, env, ctx))
             idx = tuple(idx_tuples)
             current = env[name]
+            if isinstance(current, StanComplex):
+                cval = _to_cplx(value)
+                re = jnp.asarray(current.re)
+                im = jnp.asarray(current.im)
+                if op != "=":
+                    cur = StanComplex(re[idx], im[idx])
+                    cval = _to_cplx(
+                        self._apply_binop(op[:-1], cur, cval, stmt)
+                    )
+                env[name] = StanComplex(
+                    re.at[idx].set(cval.re), im.at[idx].set(cval.im)
+                )
+                return
             arr = jnp.asarray(current)
             if op != "=":
                 value = self._apply_binop(op[:-1], arr[idx], value, stmt)
@@ -1278,6 +1343,11 @@ class StanInterpreter:
             )
         if isinstance(node, A.Index):
             base = self.eval_expr(node.base, env, ctx)
+            if isinstance(base, StanComplex):
+                idx = tuple(self._indexers(node.indices, env, ctx))
+                return StanComplex(
+                    jnp.asarray(base.re)[idx], jnp.asarray(base.im)[idx]
+                )
             if isinstance(base, (list, StanTuple)) or (
                 isinstance(base, np.ndarray) and base.dtype == object
             ):
@@ -1407,6 +1477,22 @@ class StanInterpreter:
             )
         if name == "dims":
             return np.asarray(np.shape(args[0]), np.int64)
+
+        # complex-aware helpers (args may be StanComplex, which the plain
+        # FUNCTIONS table cannot consume)
+        if name == "to_complex":
+            re = args[0] if args else 0.0
+            im = args[1] if len(args) > 1 else 0.0
+            return StanComplex(jnp.asarray(re), jnp.asarray(im))
+        if name in ("get_real", "get_imag"):
+            z = _to_cplx(args[0])
+            return z.re if name == "get_real" else z.im
+        if name == "conj":
+            z = _to_cplx(args[0])
+            return StanComplex(z.re, -jnp.asarray(z.im))
+        if name == "abs" and isinstance(args[0], StanComplex):
+            return jnp.hypot(jnp.asarray(args[0].re),
+                             jnp.asarray(args[0].im))
 
         fn = FUNCTIONS.get(name)
         if fn is None:

@@ -19,6 +19,7 @@ _PUNCT = ["{", "}", "[", "]", "(", ")", ",", ";"]
 KEYWORDS = {
     "functions", "data", "transformed", "parameters", "model", "generated",
     "quantities", "int", "real", "complex", "vector", "row_vector", "matrix",
+    "complex_vector", "complex_row_vector", "complex_matrix",
     "array", "simplex", "unit_vector", "ordered", "positive_ordered",
     "cholesky_factor_corr", "cholesky_factor_cov", "corr_matrix", "cov_matrix",
     "sum_to_zero_vector", "tuple",

@@ -11,14 +11,13 @@ _TYPE_BASES = {
     "unit_vector", "ordered", "positive_ordered", "cholesky_factor_corr",
     "cholesky_factor_cov", "corr_matrix", "cov_matrix", "sum_to_zero_vector",
     "complex", "tuple",
+    "complex_vector", "complex_row_vector", "complex_matrix",
 }
 
 # recognized Stan types this compiler does not implement; reported with a
 # precise compile-time error instead of a confusing parse failure (the
 # reference consumes them through BridgeStan, src/stan.rs:92-251)
-_UNSUPPORTED_TYPE_BASES = {
-    "complex_vector", "complex_row_vector", "complex_matrix",
-}
+_UNSUPPORTED_TYPE_BASES: set[str] = set()
 
 _ASSIGN_OPS = {"=", "+=", "-=", "*=", "/=", ".*=", "./="}
 

@@ -511,15 +511,52 @@ def test_ordered_logistic_model():
     assert np.all(np.diff(c.mean(axis=(0, 1))) > 0)
 
 
-def test_unsupported_types_precise_errors():
-    # still-unsupported types (complex containers) produce precise
-    # compile-time errors, not parse failures or silent mis-typing
-    from nutpie_tpu.frontends.stan.errors import StanCompileError
-
-    code = ("parameters { real q; } model { q ~ normal(0, 1); } "
-            "generated quantities { complex_vector[3] z; }")
-    with pytest.raises(StanCompileError, match="not supported"):
-        nutpie_tpu.compile_stan_model(code=code)
+def test_complex_containers():
+    """complex_vector / complex_row_vector / complex_matrix in data,
+    parameters (interleaved flat real slots, BridgeStan's layout),
+    transformed quantities, and GQ; elementwise complex algebra rides the
+    (re, im) part arrays."""
+    code = """
+    data { complex_vector[3] w; complex_matrix[2, 2] M; }
+    parameters { complex_vector[2] zp; real x; }
+    model {
+      x ~ normal(0, 1);
+      target += normal_lpdf(get_real(zp[1]) | 1, 0.5);
+      target += normal_lpdf(get_imag(zp[1]) | -1, 0.5);
+      target += normal_lpdf(get_real(zp[2]) | 0, 1);
+      target += normal_lpdf(get_imag(zp[2]) | 0, 1);
+    }
+    generated quantities {
+      complex_vector[3] z;
+      for (i in 1:3) z[i] = w[i] * to_complex(2.0, 0.0);
+      complex_vector[3] zc = conj(z);
+      real a1 = abs(w[1]);
+      complex m11 = M[1, 1];
+      real mr = m11.real;
+    }
+    """
+    w = np.array([1 + 2j, 3 - 1j, 0.5 + 0.5j])
+    M = np.array([[1 + 1j, 2 + 0j], [0 - 1j, 4 + 2j]])
+    m = nutpie_tpu.compile_stan_model(code=code).with_data(w=w, M=M)
+    tr = nutpie_tpu.sample(m, chains=2, tune=200, draws=300, seed=0,
+                           progress_bar=False)
+    zre = np.asarray(tr.posterior["z.real"].values)
+    zim = np.asarray(tr.posterior["z.imag"].values)
+    np.testing.assert_allclose(zre[0, 0], 2 * w.real, atol=1e-12)
+    np.testing.assert_allclose(zim[0, 0], 2 * w.imag, atol=1e-12)
+    np.testing.assert_allclose(
+        np.asarray(tr.posterior["zc.imag"].values)[0, 0], -2 * w.imag,
+        atol=1e-12)
+    assert abs(float(np.asarray(tr.posterior["a1"].values)[0, 0])
+               - abs(w[0])) < 1e-12
+    assert abs(float(np.asarray(tr.posterior["mr"].values)[0, 0])
+               - 1.0) < 1e-12
+    # sampled complex_vector parameter: flat-slot posterior means
+    zpre = np.asarray(tr.posterior["zp.real"].values)
+    zpim = np.asarray(tr.posterior["zp.imag"].values)
+    assert zpre.shape[-1] == 2
+    assert abs(zpre[..., 0].mean() - 1.0) < 0.2
+    assert abs(zpim[..., 0].mean() + 1.0) < 0.2
 
 
 def test_former_scope_boundary_functionals_now_run():

@@ -555,14 +555,35 @@ def main() -> None:
             cfg.initial_depth_cap if CHAINS >= 64 else None,
         )
         freeze_start = TUNE - int(cfg.adapt.freeze_share * TUNE)
+        # depth-cap refresh horizon: pre-freeze chunks only (historic
+        # default), or every warmup chunk (NUTPIE_BENCH_CAP_ALL_WARMUP=1:
+        # the final warmup chunk's median reflects the fully adapted
+        # kernel, so the posterior cap is tighter; the posterior kernel is
+        # still fixed -- the last update lands before the first retained
+        # draw)
+        cap_through = (
+            TUNE if os.environ.get("NUTPIE_BENCH_CAP_ALL_WARMUP", "0") == "1"
+            else freeze_start
+        )
+        debug_caps = os.environ.get("NUTPIE_BENCH_DEBUG", "") == "1"
+        t_phase = time.perf_counter() if debug_caps else None
         while start < total:
             limit = min(CHUNK, total - start)
             active = runner if start < TUNE else runner_frozen
             states, bufs = active(states, start, limit, sched_i)
-            if start + limit <= freeze_start:
+            if debug_caps:
+                jax.block_until_ready(bufs.scalars)
+                now = time.perf_counter()
+                print(f"# chunk@{start} limit={limit} "
+                      f"wall={now - t_phase:.3f}s", file=sys.stderr)
+                t_phase = now
+            if start + limit <= cap_through:
                 sched_i = sched_i._replace(
                     depth_cap=fleet_depth_cap(cfg, bufs, limit)
                 )
+                if debug_caps:
+                    print(f"# chunk@{start}: depth_cap -> "
+                          f"{int(sched_i.depth_cap)}", file=sys.stderr)
             keep_from = max(0, TUNE - start)
             if start + limit > TUNE:
                 # keep only the monitored columns on device (full buffers
@@ -577,10 +598,20 @@ def main() -> None:
             valid_rows.append(row_valid)
             post_rows.append(row_post)
             start += limit
+        if debug_caps:
+            jax.block_until_ready(states.position)
+            print(f"# sampling done at {time.perf_counter() - t_phase:.3f}s "
+                  f"since last chunk mark", file=sys.stderr)
+            t_phase = time.perf_counter()
         posterior = jnp.concatenate(post_chunks, axis=1)
         min_ess = min_ess_over_columns(
             posterior, jnp.arange(cols.shape[0], dtype=jnp.int32)
         )
+        if debug_caps:
+            jax.block_until_ready(min_ess)
+            print(f"# ess reduction: {time.perf_counter() - t_phase:.3f}s",
+                  file=sys.stderr)
+            t_phase = time.perf_counter()
         n_steps_total, divergences, div_posterior = _reduce_stats(
             jnp.concatenate(scalars_hist, axis=1),
             jnp.asarray(np.concatenate(valid_rows)),

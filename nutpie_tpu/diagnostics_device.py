@@ -26,15 +26,23 @@ def _split_chains(x: jax.Array) -> jax.Array:
 def _rank_normalize(x: jax.Array) -> jax.Array:
     # Average ranks for ties (matches scipy rankdata(method="average") used
     # by the host implementation).  Implemented with sort + run-boundary
-    # scans + gather: jnp.searchsorted at multi-million-element sizes
-    # crashes the XLA:TPU worker (observed at [4096, 1500] bench buffers),
-    # and scatter-based alternatives hit the known batched-scatter
-    # miscompile (ops/row_write.py), so neither appears here.
+    # scans: jnp.searchsorted at multi-million-element sizes crashes the
+    # XLA:TPU worker (observed at [4096, 1500] bench buffers), and
+    # scatter-based alternatives hit the known batched-scatter miscompile
+    # (ops/row_write.py), so neither appears here.
+    #
+    # Both sorts run UNSTABLE (saves the iota tie-break augmentation on
+    # TPU; this reduction is ~15% of the whole bench wall).  Exactness is
+    # unaffected: average ranks are computed from value runs, so every
+    # member of a tie group receives the same rank no matter how the sort
+    # ordered the group, and the inverse-permutation sort has unique
+    # integer keys.
     shape = x.shape
     flat = x.reshape(-1)
     n = flat.size
-    order = jnp.argsort(flat)
-    sv = flat[order]
+    iota = jnp.arange(n, dtype=jnp.int32)
+    # one sort yields both the sorted values and the ordering permutation
+    sv, order = jax.lax.sort_key_val(flat, iota, is_stable=False)
     idx = jnp.arange(n)
     # first/last index of each run of equal values, broadcast over the run
     run_start = jnp.concatenate(
@@ -47,8 +55,10 @@ def _rank_normalize(x: jax.Array) -> jax.Array:
     )
     # 1-based average rank of every element, in sorted order
     avg_rank_sorted = 0.5 * (first + last).astype(flat.dtype) + 1.0
-    # un-permute by gather (inverse permutation via a second argsort)
-    ranks = avg_rank_sorted[jnp.argsort(order)]
+    # un-permute: sorting (order, rank) pairs by the unique keys `order`
+    # lands rank[j] at position order[j] -- the inverse permutation,
+    # without a second full argsort + gather
+    _, ranks = jax.lax.sort_key_val(order, avg_rank_sorted, is_stable=False)
     z = ndtri((ranks - 0.375) / (n + 0.25))
     return z.reshape(shape)
 

@@ -20,6 +20,8 @@ import numpy as np
 import pytest
 
 import nutpie_tpu
+
+pytestmark = pytest.mark.pymc
 from nutpie_tpu.frontends.pymc import compile_pymc_model
 
 from fake_pymc import FakeModel, install, linear_regression_model

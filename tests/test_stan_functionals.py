@@ -15,6 +15,8 @@ import pytest
 
 import nutpie_tpu
 
+pytestmark = pytest.mark.stan
+
 
 def test_reduce_sum_exact_identity():
     # reduce_sum's contract (any partition sums to the same value) makes

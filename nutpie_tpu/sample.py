@@ -59,6 +59,25 @@ def _make_settings(sampler: str, adaptation: str, seed):
     )
 
 
+def _apply_f32_flow_recipe(args: dict, precision: str) -> None:
+    """Default flow training to the measured f32-stable recipe.
+
+    Fisher-divergence training is numerically harder in float32: on the
+    nested hierarchical funnel the x64 recipe (lr 1e-3, 400 steps) that
+    passes the CPU gate leaves 35 posterior divergences / fisher ~0.56 on
+    TPU f32, while lr 3e-4 x 1600 steps brings that to 2 divergences /
+    fisher 0.16 (hardware sweep, results/README.md round 4).  Apply the
+    gentler recipe as the DEFAULT whenever the run resolves to float32;
+    values the user set explicitly (settings tree or with_transform_adapt)
+    always win.
+    """
+    from .sampler.run import resolve_dtype
+
+    if resolve_dtype(precision) == jnp.float32:
+        args.setdefault("learning_rate", 3e-4)
+        args.setdefault("train_steps", 1600)
+
+
 def _nuts_config_from_settings(
     settings: NutsSettings, transform_args: Optional[dict] = None
 ) -> NutsConfig:
@@ -86,6 +105,7 @@ def _nuts_config_from_settings(
             "use_orbit",
             getattr(settings.adapt_options, "use_orbit_for_training", False),
         )
+        _apply_f32_flow_recipe(args, settings.precision)
         flow = FlowConfig(
             update_freq=freq,
             **{k: v for k, v in args.items() if k in known},
@@ -276,6 +296,7 @@ def _mclmc_config_from_settings(
         args.update(transform_args or {})
         freq = getattr(settings.adapt_options, "transform_update_freq", 64)
         known = {f.name for f in _dc.fields(FlowConfig)}
+        _apply_f32_flow_recipe(args, settings.precision)
         flow = FlowConfig(
             update_freq=freq,
             **{k: v for k, v in args.items() if k in known},

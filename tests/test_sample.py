@@ -283,3 +283,45 @@ def test_fleet_depth_cap():
     scal = scal.at[:, :6, SCALAR_SLOTS["n_steps"]].set(1023.0)
     bufs.scalars = scal
     assert int(fleet_depth_cap(cfg, bufs, 6)) == 10
+
+
+def test_f32_flow_recipe_defaulting():
+    # float32 runs default flow training to the measured f32-stable recipe
+    # (lr 3e-4, 1600 steps; results/README.md r4 hardware sweep); x64 runs
+    # keep the faster x64 recipe; explicit user values always win.
+    from nutpie_tpu.sample import _make_settings, _nuts_config_from_settings
+
+    s = _make_settings("nuts", "flow", seed=0)
+    s.precision = "float32"
+    cfg = _nuts_config_from_settings(s)
+    assert cfg.flow.learning_rate == pytest.approx(3e-4)
+    assert cfg.flow.train_steps == 1600
+
+    s = _make_settings("nuts", "flow", seed=0)
+    s.precision = "float64"
+    cfg = _nuts_config_from_settings(s)
+    assert cfg.flow.learning_rate == pytest.approx(1e-3)
+    assert cfg.flow.train_steps == 400
+
+    # "auto" under the x64 test conftest resolves to float64
+    s = _make_settings("nuts", "flow", seed=0)
+    cfg = _nuts_config_from_settings(s)
+    assert cfg.flow.train_steps == 400
+
+    # explicit with_transform_adapt values beat the f32 default
+    s = _make_settings("nuts", "flow", seed=0)
+    s.precision = "float32"
+    cfg = _nuts_config_from_settings(
+        s, {"learning_rate": 7e-4, "train_steps": 800}
+    )
+    assert cfg.flow.learning_rate == pytest.approx(7e-4)
+    assert cfg.flow.train_steps == 800
+
+    # mclmc flow path gets the same defaulting
+    from nutpie_tpu.sample import _mclmc_config_from_settings
+
+    s = _make_settings("mclmc", "flow", seed=0)
+    s.precision = "float32"
+    cfg = _mclmc_config_from_settings(s)
+    assert cfg.flow.learning_rate == pytest.approx(3e-4)
+    assert cfg.flow.train_steps == 1600

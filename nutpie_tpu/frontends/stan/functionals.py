@@ -244,6 +244,86 @@ def _make_ode_tol(default_max):
     return impl
 
 
+def _ode_adjoint_tol_ctl(f, args, node, ctx):
+    """``ode_adjoint_tol_ctl`` on the same adjoint-differentiated
+    Dormand-Prince integrator as ``ode_*`` (jax ``odeint``'s custom VJP IS
+    the continuous adjoint method CVODES implements; reference route:
+    BridgeStan -> Stan math ``ode_adjoint_tol_ctl``).  Signature
+    (Stan functions reference 13.3): ``(f, y0, t0, times,
+    rel_tol_forward, abs_tol_forward(vector), rel_tol_backward,
+    abs_tol_backward(vector), rel_tol_quadrature, abs_tol_quadrature,
+    max_num_steps, num_steps_between_checkpoints,
+    interpolation_polynomial, solver_forward, solver_backward, ...args)``.
+
+    jax's odeint runs ONE tolerance pair for both the forward and the
+    augmented backward solve, so the forward/backward/quadrature requests
+    collapse to their minimum (never looser than asked); the
+    checkpointing and solver-selection integers are performance controls
+    with no effect on the solution and are validated then ignored.
+    """
+    if len(args) < 14:
+        raise StanCompileError(
+            "ode_adjoint_tol_ctl needs (f, y0, t0, times, rel_tol_forward, "
+            "abs_tol_forward, rel_tol_backward, abs_tol_backward, "
+            "rel_tol_quadrature, abs_tol_quadrature, max_num_steps, "
+            "num_steps_between_checkpoints, interpolation_polynomial, "
+            "solver_forward, solver_backward, ...)", node.line, node.col,
+        )
+    y0, t0, ts = args[:3]
+    mx = args[9]
+    # args[10:12] checkpointing/interpolation, args[12:14] solver choices
+    rest = tuple(args[14:])
+
+    # Tolerances must be static (odeint jits them as static operands).
+    # Stan's signature already requires them to be data, but vector
+    # literals like [1e-8]' are staged into the ambient jit trace by the
+    # interpreter, so fall back to constant-folding the AST expression
+    # when the evaluated value is a tracer.
+    def static_min(i, what):
+        val = args[i]
+        try:
+            return float(np.min(np.asarray(val)))
+        except Exception:
+            lit = _const_fold_floats(node.args[1 + i])
+            if lit is not None:
+                return float(np.min(lit))
+            raise StanCompileError(
+                f"ode_adjoint_tol_ctl {what} must be data (a literal or a "
+                f"data-block value); parameters cannot set solver "
+                f"tolerances", node.line, node.col,
+            ) from None
+
+    rel = min(static_min(3, "rel_tol_forward"),
+              static_min(5, "rel_tol_backward"),
+              static_min(7, "rel_tol_quadrature"))
+    ab = min(static_min(4, "abs_tol_forward"),
+             static_min(6, "abs_tol_backward"),
+             static_min(8, "abs_tol_quadrature"))
+    return _run_odeint(f, y0, t0, ts, rest, rel, ab, mx)
+
+
+def _const_fold_floats(expr):
+    """Constant-fold a tolerance expression: numeric literals, vector /
+    row-vector / array literals of them, transposes, and unary minus.
+    Returns a list of floats or None."""
+    if isinstance(expr, A.Num):
+        return [float(expr.value)]
+    if isinstance(expr, A.Transpose):
+        return _const_fold_floats(expr.operand)
+    if isinstance(expr, A.UnaryOp) and expr.op == "-":
+        inner = _const_fold_floats(expr.operand)
+        return None if inner is None else [-v for v in inner]
+    if isinstance(expr, (A.ArrayLit, A.RowVectorLit)):
+        out = []
+        for e in expr.elements:
+            inner = _const_fold_floats(e)
+            if inner is None:
+                return None
+            out.extend(inner)
+        return out
+    return None
+
+
 # ------------------------------------------------------ algebra solvers
 
 def _newton_root(fun, y_guess, f_tol, max_steps):
@@ -363,6 +443,7 @@ IMPLS = {
     "ode_adams_tol": _make_ode_tol(1e8),
     "ode_ckrk": _make_ode(False, 1e-6, 1e-6, 1e6),
     "ode_ckrk_tol": _make_ode_tol(1e6),
+    "ode_adjoint_tol_ctl": _ode_adjoint_tol_ctl,
     "algebra_solver": _algebra_solver,
     "algebra_solver_newton": _algebra_solver,
     "solve_newton": _solve_newton,

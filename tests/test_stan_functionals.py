@@ -279,9 +279,49 @@ def test_hmm_marginal_in_model_and_latent_rng_in_gq():
     assert (z[..., :3] == 1).mean() > 0.8
 
 
+def test_ode_adjoint_tol_ctl():
+    """ode_adjoint_tol_ctl rides the same adjoint-differentiated
+    integrator as ode_*_tol: with forward tolerances equal to the _tol
+    call's (and backward/quadrature no tighter), solutions agree to
+    solver tolerance and the sampled rate's gradient flows through."""
+    code = """
+    functions {
+      vector decay(real t, vector y, real k) { return -k * y; }
+    }
+    data { int T; array[T] real ts; array[T] real yobs; }
+    parameters { real<lower=0> k; }
+    transformed parameters {
+      array[T] vector[1] mu = ode_adjoint_tol_ctl(
+          decay, [10.0]', 0.0, ts,
+          1e-8, [1e-8]', 1e-8, [1e-8]', 1e-8, 1e-8,
+          1000000, 150, 1, 1, 2, k);
+      array[T] vector[1] mu_tol =
+          ode_rk45_tol(decay, [10.0]', 0.0, ts, 1e-8, 1e-8, 1000000, k);
+    }
+    model {
+      k ~ lognormal(0, 1);
+      for (t in 1:T) yobs[t] ~ normal(mu[t][1], 0.1);
+    }
+    """
+    ts = np.array([0.25, 0.5, 1.0, 2.0])
+    k_true = 0.8
+    yobs = 10.0 * np.exp(-k_true * ts)
+    m = nutpie_tpu.compile_stan_model(code=code).with_data(
+        T=len(ts), ts=ts, yobs=yobs)
+    tr = nutpie_tpu.sample(m, chains=2, tune=300, draws=300, seed=3,
+                           progress_bar=False)
+    k = np.asarray(tr.posterior["k"].values)
+    mu = np.asarray(tr.posterior["mu"].values)
+    mu_tol = np.asarray(tr.posterior["mu_tol"].values)
+    assert abs(k.mean() - k_true) < 0.05
+    np.testing.assert_allclose(mu[..., 0], mu_tol[..., 0], atol=1e-6)
+    analytic = 10.0 * np.exp(-k[..., None] * ts)
+    assert np.abs(mu[..., 0] - analytic).max() < 1e-5
+
+
 def test_remaining_unsupported_functionals_error_precisely():
-    """The residual scope boundary: implicit DAE solvers and the
-    adjoint-controlled ODE interface (no JAX counterpart)."""
+    """The residual scope boundary: implicit DAE solvers (no JAX
+    counterpart)."""
     from nutpie_tpu.frontends.stan.errors import StanCompileError
 
     code = """

@@ -1392,15 +1392,15 @@ class StanInterpreter:
             node.line, node.col,
         )
 
-    # The only higher-order functionals still out of scope: the implicit
-    # DAE solvers (IDAS) have no JAX counterpart here.  Everything else
-    # (reduce_sum, map_rect, integrate_1d, the ODE solvers incl.
-    # ode_adjoint_tol_ctl, the algebraic solvers, the HMM marginalizers)
-    # is implemented natively in functionals.py / stanlib.py.  Checked
-    # BEFORE argument evaluation so the user sees the real scope boundary
-    # instead of "undefined variable 'f'" for the function-valued
-    # argument.
-    _UNSUPPORTED_FUNCTIONALS = {"dae", "dae_tol"}
+    # Every higher-order functional in the Stan language (reduce_sum,
+    # map_rect, integrate_1d, the ODE solvers incl. ode_adjoint_tol_ctl,
+    # the DAE solvers, the algebraic solvers, the HMM marginalizers) is
+    # implemented natively in functionals.py / stanlib.py; the set below
+    # is the mechanism for declaring an intentional scope boundary with a
+    # precise compile error (checked BEFORE argument evaluation so the
+    # user sees the boundary instead of "undefined variable 'f'" for the
+    # function-valued argument).  Currently empty.
+    _UNSUPPORTED_FUNCTIONALS: frozenset = frozenset()
 
     def eval_call(self, node: A.Call, env: dict, ctx: Ctx):
         name = node.name
@@ -1408,10 +1408,7 @@ class StanInterpreter:
             return ctx.target
         if name in self._UNSUPPORTED_FUNCTIONALS:
             raise StanCompileError(
-                f"{name!r} is not supported: Stan's implicit DAE "
-                f"solvers come from Stan math's C++ (reference: "
-                f"BridgeStan), which cannot run on TPU; use ode_rk45/"
-                f"ode_bdf (supported) or rewrite the model without it",
+                f"{name!r} is not supported on this backend",
                 node.line, node.col,
             )
         if name in stan_functionals.FUNCTIONAL_NAMES:

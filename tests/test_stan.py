@@ -563,8 +563,9 @@ def test_former_scope_boundary_functionals_now_run():
     """Round 4's scope boundary (reduce_sum / ode_rk45 / algebra_solver /
     map_rect rejected with precise errors) became round 5's feature set:
     the same snippets that had to error now compile and sample.  Full
-    value/gradient coverage lives in tests/test_stan_functionals.py;
-    the residual boundary (dae) is asserted there too."""
+    value/gradient coverage lives in tests/test_stan_functionals.py
+    (which by round 5 also covers dae/dae_tol and ode_adjoint_tol_ctl:
+    the unsupported-functional set is now empty)."""
     snippets = {
         "reduce_sum": (
             "functions { real f(array[] real y, int s, int e) "

@@ -319,22 +319,78 @@ def test_ode_adjoint_tol_ctl():
     assert np.abs(mu[..., 0] - analytic).max() < 1e-5
 
 
-def test_remaining_unsupported_functionals_error_precisely():
-    """The residual scope boundary: implicit DAE solvers (no JAX
-    counterpart)."""
+def test_dae_solvers_index1_gradient():
+    """Index-1 linear DAE (one differential + one algebraic equation)
+    with the decay rate as a sampled parameter: y1' = -k y1, y2 = y1.
+    The TR-BDF2 stages solve under lax.custom_root, so NUTS gradients
+    flow through every implicit stage; the consistent yp0 is built from
+    the parameter inside the program."""
+    code = """
+    functions {
+      vector res(real t, vector yy, vector yp, real k) {
+        return [yp[1] + k * yy[1], yy[2] - yy[1]]';
+      }
+    }
+    data { int T; array[T] real ts; array[T] real yobs; }
+    parameters { real<lower=0> k; }
+    transformed parameters {
+      array[T] vector[2] mu = dae_tol(
+          res, [1.0, 1.0]', [-k, -k]', 0.0, ts,
+          1e-4, 1e-8, 100000, k);
+    }
+    model {
+      k ~ lognormal(0, 1);
+      for (t in 1:T) yobs[t] ~ normal(mu[t][1], 0.05);
+    }
+    """
+    ts = np.array([0.25, 0.5, 1.0, 2.0])
+    k_true = 0.8
+    yobs = np.exp(-k_true * ts)
+    m = nutpie_tpu.compile_stan_model(code=code).with_data(
+        T=len(ts), ts=ts, yobs=yobs)
+    tr = nutpie_tpu.sample(m, chains=2, tune=200, draws=200, seed=5,
+                           progress_bar=False)
+    k = np.asarray(tr.posterior["k"].values)
+    mu = np.asarray(tr.posterior["mu"].values)
+    assert abs(k.mean() - k_true) < 0.06, k.mean()
+    analytic = np.exp(-k[..., None] * ts)
+    # 2nd-order fixed grid at rel_tol 1e-4: global error ~ 1e-4
+    assert np.abs(mu[..., 0] - analytic).max() < 1e-3
+    # the algebraic constraint holds at every output time
+    assert np.abs(mu[..., 1] - mu[..., 0]).max() < 1e-6
+
+
+def test_dae_default_interface_and_budget_error():
+    """dae() with default tolerances matches dae_tol tightly; an
+    undersized max_num_steps errors with the intentional message."""
     from nutpie_tpu.frontends.stan.errors import StanCompileError
 
     code = """
     functions {
-      vector res(real t, vector y, vector yp) { return yp + y; }
+      vector res(real t, vector yy, vector yp) {
+        return [yp[1] + yy[1]]';
+      }
     }
+    data { int T; array[T] real ts; }
     parameters { real x; }
     transformed parameters {
-      array[2] vector[1] sol = dae(res, [1.0]', [-1.0]', 0.0, {1.0, 2.0});
+      array[T] vector[1] sol = dae(res, [1.0]', [-1.0]', 0.0, ts);
     }
     model { x ~ normal(0, 1); }
     """
-    with pytest.raises(StanCompileError, match="'dae' is not"):
-        model = nutpie_tpu.compile_stan_model(code=code)
-        nutpie_tpu.sample(model, chains=1, tune=5, draws=5, seed=0,
+    ts = np.array([0.5, 1.0])
+    m = nutpie_tpu.compile_stan_model(code=code).with_data(T=2, ts=ts)
+    tr = nutpie_tpu.sample(m, chains=1, tune=50, draws=50, seed=0,
+                           progress_bar=False)
+    sol = np.asarray(tr.posterior["sol"].values)
+    np.testing.assert_allclose(
+        sol[0, 0, :, 0], np.exp(-ts), atol=2e-5
+    )
+
+    bad = code.replace("dae(res, [1.0]', [-1.0]', 0.0, ts)",
+                       "dae_tol(res, [1.0]', [-1.0]', 0.0, ts, "
+                       "1e-4, 1e-8, 10)")
+    mb = nutpie_tpu.compile_stan_model(code=bad).with_data(T=2, ts=ts)
+    with pytest.raises(StanCompileError, match="max_num_steps"):
+        nutpie_tpu.sample(mb, chains=1, tune=5, draws=5, seed=0,
                           progress_bar=False)

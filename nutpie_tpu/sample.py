@@ -76,6 +76,7 @@ def _apply_f32_flow_recipe(args: dict, precision: str) -> None:
     if resolve_dtype(precision) == jnp.float32:
         args.setdefault("learning_rate", 3e-4)
         args.setdefault("train_steps", 1600)
+        args.setdefault("lr_decay", True)
 
 
 def _nuts_config_from_settings(

@@ -95,6 +95,13 @@ class FlowConfig:
     # masks cannot.  The rotation is a [dim, dim] matmul (MXU-friendly) and
     # orthogonal, so it contributes no logdet.
     dct: bool = False
+    # cosine learning-rate decay (lr -> lr/10 across train_steps).  With
+    # best-params tracking this cannot hurt the accepted fit; it damps
+    # the late-training parameter noise that f32 Fisher training shows on
+    # nested funnels.  Off by default so x64 goldens/gates stay
+    # bit-stable; the f32 recipe (sample._apply_f32_flow_recipe) turns it
+    # on.
+    lr_decay: bool = False
     # low-rank factored conditioner (reference FactoredMLP,
     # normalizing_flow.py:125-250): the first conditioner layer
     # [dim, hidden] is factored as [dim, r] @ [r, hidden].  For large dim
@@ -414,8 +421,14 @@ def train_flow(cfg: FlowConfig, params: FlowParams, xs, gs, valid):
         )
         mh = jax.tree_util.tree_map(lambda a: a / (1 - b1**count), m)
         vh = jax.tree_util.tree_map(lambda a: a / (1 - b2**count), v)
+        if cfg.lr_decay:
+            frac = (count - 1) / cfg.train_steps
+            lr_t = lr * (0.1 + 0.45 * (1 + jnp.cos(jnp.pi * frac)))
+        else:
+            lr_t = lr
         p_new = jax.tree_util.tree_map(
-            lambda pp, a, bb: pp - lr * a / (jnp.sqrt(bb) + 1e-8), p, mh, vh
+            lambda pp, a, bb: pp - lr_t * a / (jnp.sqrt(bb) + 1e-8),
+            p, mh, vh
         )
         finite = jnp.isfinite(loss)
         p_new = jax.tree_util.tree_map(

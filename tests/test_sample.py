@@ -325,3 +325,14 @@ def test_f32_flow_recipe_defaulting():
     cfg = _mclmc_config_from_settings(s)
     assert cfg.flow.learning_rate == pytest.approx(3e-4)
     assert cfg.flow.train_steps == 1600
+
+
+def test_f32_flow_recipe_lr_decay_flag():
+    from nutpie_tpu.sample import _make_settings, _nuts_config_from_settings
+
+    s = _make_settings("nuts", "flow", seed=0)
+    s.precision = "float32"
+    assert _nuts_config_from_settings(s).flow.lr_decay is True
+    s = _make_settings("nuts", "flow", seed=0)
+    s.precision = "float64"
+    assert _nuts_config_from_settings(s).flow.lr_decay is False

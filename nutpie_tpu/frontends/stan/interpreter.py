@@ -1490,6 +1490,25 @@ class StanInterpreter:
         if name == "abs" and isinstance(args[0], StanComplex):
             return jnp.hypot(jnp.asarray(args[0].re),
                              jnp.asarray(args[0].im))
+        if name == "norm" and (args and isinstance(args[0], StanComplex)):
+            z = args[0]
+            re, im = jnp.asarray(z.re), jnp.asarray(z.im)
+            return re * re + im * im
+        if name == "arg":
+            z = _to_cplx(args[0])
+            return jnp.arctan2(jnp.asarray(z.im), jnp.asarray(z.re))
+        if name == "polar":
+            r, theta = jnp.asarray(args[0]), jnp.asarray(args[1])
+            return StanComplex(r * jnp.cos(theta), r * jnp.sin(theta))
+        if name == "proj":
+            # std::proj: the point itself unless infinite, then +inf+0i
+            z = _to_cplx(args[0])
+            re, im = jnp.asarray(z.re), jnp.asarray(z.im)
+            inf = jnp.isinf(re) | jnp.isinf(im)
+            return StanComplex(
+                jnp.where(inf, jnp.inf, re),
+                jnp.where(inf, jnp.copysign(0.0, im), im),
+            )
 
         fn = FUNCTIONS.get(name)
         if fn is None:

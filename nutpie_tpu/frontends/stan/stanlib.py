@@ -1199,3 +1199,428 @@ FUNCTIONS = {
     "negative_infinity": lambda: -jnp.inf,
     "not_a_number": lambda: jnp.nan,
 }
+
+
+# ------------------------------------------------- round-5 breadth additions
+# (reference: BridgeStan inherits all of Stan math's C++,
+# /root/reference/src/stan.rs:449-463; each entry re-derived on jnp/jsp
+# primitives and scipy cross-checked in tests/test_stanlib_breadth.py)
+
+def inv_chi_square_lpdf(y, nu):
+    y, nu = _as_f(y), _as_f(nu)
+    h = nu / 2.0
+    return -(h + 1.0) * jnp.log(y) - 0.5 / y - jsp.gammaln(h) - h * jnp.log(2.0)
+
+
+def scaled_inv_chi_square_lpdf(y, nu, s):
+    y, nu, s = _as_f(y), _as_f(nu), _as_f(s)
+    h = nu / 2.0
+    return (
+        h * jnp.log(h) + nu * jnp.log(s) - jsp.gammaln(h)
+        - (h + 1.0) * jnp.log(y) - h * s * s / y
+    )
+
+
+def pareto_type_2_lpdf(y, mu, lam, alpha):
+    y, mu, lam, alpha = _as_f(y), _as_f(mu), _as_f(lam), _as_f(alpha)
+    return (
+        jnp.log(alpha) - jnp.log(lam)
+        - (alpha + 1.0) * jnp.log1p((y - mu) / lam)
+    )
+
+
+def multi_normal_prec_lpdf(y, mu, Omega):
+    y, mu, Omega = _as_f(y), _as_f(mu), _as_f(Omega)
+    d = y.shape[-1]
+    chol = jnp.linalg.cholesky(Omega)  # Omega = L L^T
+    diff = y - mu
+    z = jnp.einsum("...ij,...j->...i", jnp.swapaxes(chol, -1, -2), diff)
+    return (
+        -0.5 * jnp.sum(z * z, axis=-1)
+        + jnp.sum(jnp.log(jnp.diagonal(chol, axis1=-2, axis2=-1)), axis=-1)
+        - 0.5 * d * jnp.log(2 * jnp.pi)
+    )
+
+
+def multi_student_t_cholesky_lpdf(y, nu, mu, L):
+    y, nu, mu, L = _as_f(y), _as_f(nu), _as_f(mu), _as_f(L)
+    d = y.shape[-1]
+    diff = y - mu
+    z = jax.scipy.linalg.solve_triangular(L, diff, lower=True)
+    q = jnp.sum(z * z, axis=-1)
+    return (
+        jsp.gammaln((nu + d) / 2.0) - jsp.gammaln(nu / 2.0)
+        - 0.5 * d * jnp.log(nu * jnp.pi)
+        - jnp.sum(jnp.log(jnp.diagonal(L, axis1=-2, axis2=-1)), axis=-1)
+        - 0.5 * (nu + d) * jnp.log1p(q / nu)
+    )
+
+
+def neg_binomial_lpmf(y, alpha, beta):
+    # Stan's v1 parameterization: y ~ NB(alpha, beta), mean alpha/beta
+    y, alpha, beta = _as_f(y), _as_f(alpha), _as_f(beta)
+    return (
+        jsp.gammaln(y + alpha) - jsp.gammaln(alpha) - jsp.gammaln(y + 1)
+        + alpha * jnp.log(beta / (beta + 1.0)) - y * jnp.log1p(beta)
+    )
+
+
+def hypergeometric_lpmf(y, N, a, b):
+    y, N, a, b = _as_f(y), _as_f(N), _as_f(a), _as_f(b)
+
+    def lchoose(n, k):
+        return (
+            jsp.gammaln(n + 1) - jsp.gammaln(k + 1) - jsp.gammaln(n - k + 1)
+        )
+
+    return lchoose(a, y) + lchoose(b, N - y) - lchoose(a + b, N)
+
+
+def discrete_range_lpmf(y, lower, upper):
+    lower, upper = _as_f(lower), _as_f(upper)
+    return -jnp.log(upper - lower + 1.0) + 0.0 * _as_f(y)
+
+
+def wiener_lpdf(y, alpha, tau, beta, delta):
+    """First-passage density of a Wiener diffusion at the LOWER boundary
+    (Stan's wiener_lpdf): Navarro & Fuss (2009) with both the small-time
+    and large-time series at fixed truncation, selected per element."""
+    y, alpha = _as_f(y), _as_f(alpha)
+    tau, beta, delta = _as_f(tau), _as_f(beta), _as_f(delta)
+    t = (y - tau) / (alpha * alpha)  # normalized time
+    t = jnp.maximum(t, 1e-9)
+    w = beta
+
+    ks = jnp.arange(-7, 8, dtype=t.dtype)
+    terms_s = (w + 2.0 * ks) * jnp.exp(
+        -0.5 * jnp.square(w + 2.0 * ks) / t[..., None]
+    )
+    f_small = jnp.sum(terms_s, axis=-1) / jnp.sqrt(
+        2.0 * jnp.pi * t ** 3
+    )
+
+    kl = jnp.arange(1, 11, dtype=t.dtype)
+    terms_l = kl * jnp.exp(-0.5 * jnp.square(kl * jnp.pi) * t[..., None]) \
+        * jnp.sin(kl * jnp.pi * w)
+    f_large = jnp.pi * jnp.sum(terms_l, axis=-1)
+
+    f = jnp.where(t < 0.75, f_small, f_large)
+    log_f = jnp.log(jnp.maximum(f, 1e-300))
+    return (
+        log_f - 2.0 * jnp.log(alpha)
+        - delta * alpha * w - 0.5 * delta * delta * (y - tau)
+    )
+
+
+_MULTIVARIATE |= {"multi_normal_prec", "multi_student_t_cholesky"}
+
+DISTRIBUTIONS.update({
+    "inv_chi_square": inv_chi_square_lpdf,
+    "scaled_inv_chi_square": scaled_inv_chi_square_lpdf,
+    "pareto_type_2": pareto_type_2_lpdf,
+    "multi_normal_prec": multi_normal_prec_lpdf,
+    "multi_student_t_cholesky": multi_student_t_cholesky_lpdf,
+    "neg_binomial": neg_binomial_lpmf,
+    "hypergeometric": hypergeometric_lpmf,
+    "discrete_range": discrete_range_lpmf,
+    "wiener": wiener_lpdf,
+})
+
+
+# --- cdf breadth: every continuous/count family with a jsp special-function
+# representation gets lcdf/lccdf (and therefore _cdf via the interpreter)
+
+def beta_lcdf(y, alpha, beta):
+    return jnp.log(jsp.betainc(alpha, beta, _as_f(y)))
+
+
+def beta_lccdf(y, alpha, beta):
+    return jnp.log1p(-jsp.betainc(alpha, beta, _as_f(y)))
+
+
+def chi_square_lcdf(y, nu):
+    return jnp.log(jsp.gammainc(nu / 2.0, 0.5 * _as_f(y)))
+
+
+def chi_square_lccdf(y, nu):
+    return jnp.log1p(-jsp.gammainc(nu / 2.0, 0.5 * _as_f(y)))
+
+
+def inv_chi_square_lcdf(y, nu):
+    return jnp.log1p(-jsp.gammainc(nu / 2.0, 0.5 / _as_f(y)))
+
+
+def inv_chi_square_lccdf(y, nu):
+    return jnp.log(jsp.gammainc(nu / 2.0, 0.5 / _as_f(y)))
+
+
+def scaled_inv_chi_square_lcdf(y, nu, s):
+    h = nu / 2.0
+    return jnp.log1p(-jsp.gammainc(h, h * s * s / _as_f(y)))
+
+
+def scaled_inv_chi_square_lccdf(y, nu, s):
+    h = nu / 2.0
+    return jnp.log(jsp.gammainc(h, h * s * s / _as_f(y)))
+
+
+def inv_gamma_lcdf(y, alpha, beta):
+    return jnp.log1p(-jsp.gammainc(alpha, beta / _as_f(y)))
+
+
+def inv_gamma_lccdf(y, alpha, beta):
+    return jnp.log(jsp.gammainc(alpha, beta / _as_f(y)))
+
+
+def double_exponential_lcdf(y, mu, sigma):
+    z = (_as_f(y) - mu) / sigma
+    return jnp.where(
+        z < 0, jnp.log(0.5) + z, jnp.log1p(-0.5 * jnp.exp(-z))
+    )
+
+
+def double_exponential_lccdf(y, mu, sigma):
+    z = (_as_f(y) - mu) / sigma
+    return jnp.where(
+        z < 0, jnp.log1p(-0.5 * jnp.exp(z)), jnp.log(0.5) - z
+    )
+
+
+def pareto_lcdf(y, y_min, alpha):
+    return jnp.log1p(-((y_min / _as_f(y)) ** alpha))
+
+
+def pareto_lccdf(y, y_min, alpha):
+    return alpha * (jnp.log(y_min) - jnp.log(_as_f(y)))
+
+
+def pareto_type_2_lcdf(y, mu, lam, alpha):
+    return jnp.log1p(-((1.0 + (_as_f(y) - mu) / lam) ** (-alpha)))
+
+
+def pareto_type_2_lccdf(y, mu, lam, alpha):
+    return -alpha * jnp.log1p((_as_f(y) - mu) / lam)
+
+
+def frechet_lcdf(y, alpha, sigma):
+    return -((sigma / _as_f(y)) ** alpha)
+
+
+def frechet_lccdf(y, alpha, sigma):
+    return jnp.log1p(-jnp.exp(-((sigma / _as_f(y)) ** alpha)))
+
+
+def rayleigh_lcdf(y, sigma):
+    z = _as_f(y) / sigma
+    return jnp.log1p(-jnp.exp(-0.5 * z * z))
+
+
+def rayleigh_lccdf(y, sigma):
+    z = _as_f(y) / sigma
+    return -0.5 * z * z
+
+
+def std_normal_lcdf(y):
+    return jsp.log_ndtr(_as_f(y))
+
+
+def std_normal_lccdf(y):
+    return jsp.log_ndtr(-_as_f(y))
+
+
+def exp_mod_normal_lcdf(y, mu, sigma, lam):
+    y = _as_f(y)
+    u = lam * (y - mu)
+    v = lam * sigma
+    cdf = jsp.ndtr((y - mu) / sigma) - jnp.exp(
+        -u + 0.5 * v * v + jsp.log_ndtr(u / v - v)
+    )
+    return jnp.log(jnp.maximum(cdf, 1e-300))
+
+
+def exp_mod_normal_lccdf(y, mu, sigma, lam):
+    y = _as_f(y)
+    u = lam * (y - mu)
+    v = lam * sigma
+    cdf = jsp.ndtr((y - mu) / sigma) - jnp.exp(
+        -u + 0.5 * v * v + jsp.log_ndtr(u / v - v)
+    )
+    return jnp.log1p(-jnp.minimum(cdf, 1.0 - 1e-16))
+
+
+def poisson_lcdf(y, lam):
+    # P(Y <= y) = Q(floor(y)+1, lam) (regularized upper incomplete gamma)
+    return jnp.log(jsp.gammaincc(jnp.floor(_as_f(y)) + 1.0, _as_f(lam)))
+
+
+def poisson_lccdf(y, lam):
+    return jnp.log(jsp.gammainc(jnp.floor(_as_f(y)) + 1.0, _as_f(lam)))
+
+
+def binomial_lcdf(y, n, theta):
+    # P(Y <= y) = I_{1-theta}(n - y, y + 1)
+    y, n = jnp.floor(_as_f(y)), _as_f(n)
+    return jnp.log(jsp.betainc(n - y, y + 1.0, 1.0 - _as_f(theta)))
+
+
+def binomial_lccdf(y, n, theta):
+    y, n = jnp.floor(_as_f(y)), _as_f(n)
+    return jnp.log1p(-jsp.betainc(n - y, y + 1.0, 1.0 - _as_f(theta)))
+
+
+def neg_binomial_2_lcdf(y, mu, phi):
+    # NB2 cdf = I_{phi/(phi+mu)}(phi, y+1)
+    y = jnp.floor(_as_f(y))
+    p = phi / (phi + _as_f(mu))
+    return jnp.log(jsp.betainc(_as_f(phi), y + 1.0, p))
+
+
+def neg_binomial_2_lccdf(y, mu, phi):
+    y = jnp.floor(_as_f(y))
+    p = phi / (phi + _as_f(mu))
+    return jnp.log1p(-jsp.betainc(_as_f(phi), y + 1.0, p))
+
+
+def bernoulli_lcdf(y, theta):
+    y = jnp.floor(_as_f(y))
+    cdf = jnp.where(y < 0, 0.0, jnp.where(y < 1, 1.0 - _as_f(theta), 1.0))
+    return jnp.log(jnp.maximum(cdf, 1e-300))
+
+
+def bernoulli_lccdf(y, theta):
+    y = jnp.floor(_as_f(y))
+    ccdf = jnp.where(y < 0, 1.0, jnp.where(y < 1, _as_f(theta), 0.0))
+    return jnp.log(jnp.maximum(ccdf, 1e-300))
+
+
+LCDFS.update({
+    "beta": beta_lcdf,
+    "chi_square": chi_square_lcdf,
+    "inv_chi_square": inv_chi_square_lcdf,
+    "scaled_inv_chi_square": scaled_inv_chi_square_lcdf,
+    "inv_gamma": inv_gamma_lcdf,
+    "double_exponential": double_exponential_lcdf,
+    "pareto": pareto_lcdf,
+    "pareto_type_2": pareto_type_2_lcdf,
+    "frechet": frechet_lcdf,
+    "rayleigh": rayleigh_lcdf,
+    "std_normal": std_normal_lcdf,
+    "exp_mod_normal": exp_mod_normal_lcdf,
+    "poisson": poisson_lcdf,
+    "binomial": binomial_lcdf,
+    "neg_binomial_2": neg_binomial_2_lcdf,
+    "bernoulli": bernoulli_lcdf,
+})
+LCCDFS.update({
+    "beta": beta_lccdf,
+    "chi_square": chi_square_lccdf,
+    "inv_chi_square": inv_chi_square_lccdf,
+    "scaled_inv_chi_square": scaled_inv_chi_square_lccdf,
+    "inv_gamma": inv_gamma_lccdf,
+    "double_exponential": double_exponential_lccdf,
+    "pareto": pareto_lccdf,
+    "pareto_type_2": pareto_type_2_lccdf,
+    "frechet": frechet_lccdf,
+    "rayleigh": rayleigh_lccdf,
+    "std_normal": std_normal_lccdf,
+    "exp_mod_normal": exp_mod_normal_lccdf,
+    "poisson": poisson_lccdf,
+    "binomial": binomial_lccdf,
+    "neg_binomial_2": neg_binomial_2_lccdf,
+    "bernoulli": bernoulli_lccdf,
+})
+
+
+# --- function breadth
+
+_OWENS_T_NODES, _OWENS_T_WEIGHTS = np.polynomial.legendre.leggauss(48)
+
+
+def owens_t(h, a):
+    """Owen's T function by 48-point Gauss-Legendre on the defining
+    integral T(h,a) = (1/2pi) int_0^a exp(-h^2(1+x^2)/2)/(1+x^2) dx
+    (differentiable in both arguments; |error| < 1e-14 for |a| <= 1,
+    reduced via T(h,a) = T(h,1)... no reduction needed at this order)."""
+    h, a = _as_f(h), _as_f(a)
+    half_a = 0.5 * a
+    acc = 0.0
+    for xj, wj in zip(_OWENS_T_NODES, _OWENS_T_WEIGHTS):
+        x = half_a * (xj + 1.0)
+        acc = acc + wj * jnp.exp(-0.5 * h * h * (1.0 + x * x)) / (
+            1.0 + x * x
+        )
+    return half_a * acc / (2.0 * jnp.pi)
+
+
+def skew_normal_lcdf(y, xi, omega, alpha):
+    z = (_as_f(y) - xi) / omega
+    cdf = jsp.ndtr(z) - 2.0 * owens_t(z, alpha)
+    return jnp.log(jnp.maximum(cdf, 1e-300))
+
+
+def skew_normal_lccdf(y, xi, omega, alpha):
+    z = (_as_f(y) - xi) / omega
+    cdf = jsp.ndtr(z) - 2.0 * owens_t(z, alpha)
+    return jnp.log1p(-jnp.minimum(cdf, 1.0 - 1e-16))
+
+
+LCDFS["skew_normal"] = skew_normal_lcdf
+LCCDFS["skew_normal"] = skew_normal_lccdf
+
+
+FUNCTIONS.update({
+    "owens_t": owens_t,
+    "trace_quad_form": lambda A, B: jnp.trace(
+        _transpose(_as_f(B)) @ _as_f(A) @ _as_f(B)
+    ),
+    "rank": lambda v, s: jnp.sum(
+        (_as_f(v) < _as_f(v)[..., jnp.asarray(s) - 1]).astype(jnp.int64),
+        axis=-1,
+    ),
+    "sort_indices_asc": lambda v: jnp.argsort(_as_f(v), axis=-1) + 1,
+    "sort_indices_desc": lambda v: jnp.argsort(-_as_f(v), axis=-1) + 1,
+    "uniform_simplex": lambda n: jnp.full((int(n),), 1.0 / float(n)),
+    "to_array_2d": lambda m: jnp.asarray(m),
+    "std_normal_log_qf": lambda lp: jsp.ndtri(jnp.exp(_as_f(lp))),
+})
+
+
+RNG_FUNCTIONS.update({
+    "inv_chi_square_rng": lambda key, nu: 1.0 / (
+        2.0 * jax.random.gamma(key, _as_f(nu) / 2.0, _bshape(nu))
+    ),
+    "scaled_inv_chi_square_rng": lambda key, nu, s: (
+        _as_f(nu) * _as_f(s) ** 2
+        / (2.0 * jax.random.gamma(key, _as_f(nu) / 2.0, _bshape(nu, s)))
+    ),
+    "pareto_type_2_rng": lambda key, mu, lam, alpha: _as_f(mu) + _as_f(lam) * (
+        (1.0 - jax.random.uniform(key, _bshape(mu, lam, alpha)))
+        ** (-1.0 / _as_f(alpha)) - 1.0
+    ),
+    "pareto_rng": lambda key, y_min, alpha: _as_f(y_min) * (
+        (1.0 - jax.random.uniform(key, _bshape(y_min, alpha)))
+        ** (-1.0 / _as_f(alpha))
+    ),
+    "neg_binomial_rng": lambda key, alpha, beta: jax.random.poisson(
+        jax.random.split(key)[0],
+        jax.random.gamma(jax.random.split(key)[1], _as_f(alpha),
+                         _bshape(alpha, beta)) / _as_f(beta),
+    ),
+    "neg_binomial_2_rng": lambda key, mu, phi: jax.random.poisson(
+        jax.random.split(key)[0],
+        jax.random.gamma(jax.random.split(key)[1], _as_f(phi),
+                         _bshape(mu, phi)) * _as_f(mu) / _as_f(phi),
+    ),
+    "discrete_range_rng": lambda key, lo, hi: jax.random.randint(
+        key, _bshape(lo, hi), jnp.asarray(lo), jnp.asarray(hi) + 1
+    ),
+    "frechet_rng": lambda key, alpha, sigma: _as_f(sigma) * (
+        -jnp.log(jax.random.uniform(key, _bshape(alpha, sigma)))
+    ) ** (-1.0 / _as_f(alpha)),
+    "gumbel_rng": lambda key, mu, beta: _as_f(mu) - _as_f(beta) * jnp.log(
+        -jnp.log(jax.random.uniform(key, _bshape(mu, beta)))
+    ),
+    "logistic_rng": lambda key, mu, sigma: _as_f(mu) + _as_f(sigma) * (
+        jax.random.logistic(key, _bshape(mu, sigma))
+    ),
+})

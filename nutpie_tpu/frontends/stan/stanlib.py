@@ -1624,3 +1624,55 @@ RNG_FUNCTIONS.update({
         jax.random.logistic(key, _bshape(mu, sigma))
     ),
 })
+
+
+def skew_double_exponential_lcdf(y, mu, sigma, tau):
+    # cdf: tau * exp((1-tau) z / sigma ... Stan: for y < mu:
+    #   tau * exp((1-tau)(y-mu)/sigma); else 1 - (1-tau) exp(-tau (y-mu)/sigma)
+    z = _as_f(y) - _as_f(mu)
+    t, s = _as_f(tau), _as_f(sigma)
+    lo = jnp.log(t) + (1.0 - t) * z * 2.0 / s
+    hi = jnp.log1p(-(1.0 - t) * jnp.exp(-t * z * 2.0 / s))
+    return jnp.where(z < 0, lo, hi)
+
+
+def skew_double_exponential_lccdf(y, mu, sigma, tau):
+    z = _as_f(y) - _as_f(mu)
+    t, s = _as_f(tau), _as_f(sigma)
+    lo = jnp.log1p(-t * jnp.exp((1.0 - t) * z * 2.0 / s))
+    hi = jnp.log1p(-t) - t * z * 2.0 / s
+    return jnp.where(z < 0, lo, hi)
+
+
+def beta_proportion_lcdf(y, mu, kappa):
+    m, k = _as_f(mu), _as_f(kappa)
+    return jnp.log(jsp.betainc(m * k, (1.0 - m) * k, _as_f(y)))
+
+
+def beta_proportion_lccdf(y, mu, kappa):
+    m, k = _as_f(mu), _as_f(kappa)
+    return jnp.log1p(-jsp.betainc(m * k, (1.0 - m) * k, _as_f(y)))
+
+
+def neg_binomial_lcdf(y, alpha, beta):
+    yv = jnp.floor(_as_f(y))
+    p = _as_f(beta) / (_as_f(beta) + 1.0)
+    return jnp.log(jsp.betainc(_as_f(alpha), yv + 1.0, p))
+
+
+def neg_binomial_lccdf(y, alpha, beta):
+    yv = jnp.floor(_as_f(y))
+    p = _as_f(beta) / (_as_f(beta) + 1.0)
+    return jnp.log1p(-jsp.betainc(_as_f(alpha), yv + 1.0, p))
+
+
+LCDFS.update({
+    "skew_double_exponential": skew_double_exponential_lcdf,
+    "beta_proportion": beta_proportion_lcdf,
+    "neg_binomial": neg_binomial_lcdf,
+})
+LCCDFS.update({
+    "skew_double_exponential": skew_double_exponential_lccdf,
+    "beta_proportion": beta_proportion_lccdf,
+    "neg_binomial": neg_binomial_lccdf,
+})

@@ -216,3 +216,32 @@ def test_new_distributions_sampling_e2e():
                            progress_bar=False)
     s = np.asarray(tr.posterior["s"].values)
     assert abs(s.mean() - yv.var()) < 0.4
+
+
+def test_more_lcdf_families():
+    """skew_double_exponential / beta_proportion / neg_binomial v1 cdfs:
+    d/dy exp(lcdf) == exp(lpdf), scipy where a reference exists."""
+    def deriv_matches(lcdf, lpdf, ys, *params):
+        for y in ys:
+            h = 1e-6
+            d = (np.exp(float(lcdf(y + h, *params)))
+                 - np.exp(float(lcdf(y - h, *params)))) / (2 * h)
+            p = np.exp(float(lpdf(y, *params)))
+            assert abs(d - p) < 1e-5 * max(1.0, p), (y, d, p)
+
+    deriv_matches(stanlib.skew_double_exponential_lcdf,
+                  stanlib.skew_double_exponential_lpdf,
+                  [-1.5, -0.2, 0.4, 2.0], 0.1, 1.3, 0.4)
+    deriv_matches(stanlib.beta_proportion_lcdf,
+                  stanlib.beta_proportion_lpdf,
+                  [0.2, 0.5, 0.8], 0.4, 5.0)
+    v = float(stanlib.neg_binomial_lcdf(4, 2.5, 1.5))
+    assert abs(v - st.nbinom.logcdf(4, 2.5, 1.5 / 2.5)) < 1e-6
+    v = float(stanlib.neg_binomial_lccdf(4, 2.5, 1.5))
+    assert abs(v - st.nbinom.logsf(4, 2.5, 1.5 / 2.5)) < 1e-6
+    for y in (-1.0, 0.6):
+        a = np.exp(float(stanlib.skew_double_exponential_lcdf(
+            y, 0.1, 1.3, 0.4)))
+        b = np.exp(float(stanlib.skew_double_exponential_lccdf(
+            y, 0.1, 1.3, 0.4)))
+        assert abs(a + b - 1) < 1e-9

@@ -1676,3 +1676,27 @@ LCCDFS.update({
     "beta_proportion": beta_proportion_lccdf,
     "neg_binomial": neg_binomial_lccdf,
 })
+
+
+def beta_binomial_lcdf(y, n, alpha, beta):
+    # y and n are Stan ints (data) -> concrete at trace time; the cdf is
+    # the exact logsumexp over k = 0..floor(y)
+    y_c = int(np.floor(float(np.asarray(y))))
+    ks = jnp.arange(0, max(y_c, 0) + 1)
+    lps = beta_binomial_lpmf(ks, n, alpha, beta)
+    out = jsp.logsumexp(lps)
+    return jnp.where(jnp.asarray(y_c) < 0, -jnp.inf, out)
+
+
+def beta_binomial_lccdf(y, n, alpha, beta):
+    y_c = int(np.floor(float(np.asarray(y))))
+    n_c = int(np.asarray(n))
+    ks = jnp.arange(min(y_c + 1, n_c + 1), n_c + 1)
+    if ks.shape[0] == 0:
+        return jnp.asarray(-jnp.inf)
+    lps = beta_binomial_lpmf(ks, n, alpha, beta)
+    return jsp.logsumexp(lps)
+
+
+LCDFS["beta_binomial"] = beta_binomial_lcdf
+LCCDFS["beta_binomial"] = beta_binomial_lccdf

@@ -245,3 +245,11 @@ def test_more_lcdf_families():
         b = np.exp(float(stanlib.skew_double_exponential_lccdf(
             y, 0.1, 1.3, 0.4)))
         assert abs(a + b - 1) < 1e-9
+
+
+def test_beta_binomial_cdf():
+    v = float(stanlib.beta_binomial_lcdf(3, 10, 2.0, 5.0))
+    assert abs(v - st.betabinom.logcdf(3, 10, 2.0, 5.0)) < 1e-6
+    v = float(stanlib.beta_binomial_lccdf(3, 10, 2.0, 5.0))
+    assert abs(v - st.betabinom.logsf(3, 10, 2.0, 5.0)) < 1e-6
+    assert float(stanlib.beta_binomial_lccdf(10, 10, 2.0, 5.0)) == -np.inf
